@@ -1,0 +1,59 @@
+package graft.htmlx
+
+/** Entry API — the analogue of the reference's SimpleHtmlParser
+  * (reference: HtmlParserSharp/SimpleHtmlParser.cs:60-73): whole-document
+  * and fragment parses over an in-memory string. Input normalization
+  * reproduces the reference driver exactly: BOM swallowed at stream start
+  * (SimpleHtmlParser.cs:114-122), CRLF/CR → LF (UTF16Buffer.cs:81-87),
+  * decoding fixed to UTF-8 (SimpleHtmlParser.cs:35).
+  */
+object HtmlParser {
+
+  /** BOM strip + newline normalization (must happen before tokenizing). */
+  def normalize(input: String): String = {
+    val s = if (input.nonEmpty && input.charAt(0) == '\uFEFF') input.substring(1) else input
+    if (s.indexOf('\r') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '\r') {
+          sb.append('\n')
+          if (i + 1 < n && s.charAt(i + 1) == '\n') i += 1
+        } else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  def decodeUtf8(bytes: Array[Byte]): String =
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+
+  final case class ParseResult(doc: HDocument, errors: Seq[String], detectedCharset: Option[String])
+
+  def parseDocument(html: String): ParseResult = {
+    val tb = new TreeBuilder
+    val tok = new Tokenizer(tb)
+    tb.startTokenization(tok)
+    tok.tokenize(normalize(html))
+    ParseResult(tb.doc, tb.errors.toSeq, Option(tb.detectedCharset))
+  }
+
+  def parseBytes(bytes: Array[Byte]): ParseResult = parseDocument(decodeUtf8(bytes))
+
+  final case class FragmentResult(fragment: HFragment, errors: Seq[String])
+
+  /** Fragment parsing with a context element name
+    * (reference: SimpleHtmlParser.cs:67-73, TreeBuilder.cs:5769-5825). */
+  def parseFragment(html: String, context: String, contextNs: String = Ns.html): FragmentResult = {
+    val tb = new TreeBuilder
+    val tok = new Tokenizer(tb)
+    tb.startTokenization(tok)
+    tb.setFragmentContext(context, contextNs)
+    tok.tokenize(normalize(html))
+    FragmentResult(tb.fragmentResult, tb.errors.toSeq)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.htmlx
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs the html5lib-format tree-construction corpus
+  * (src/test/resources/tree-construction dat files — FIXTURES.md §3). */
+class TreeConstructionSpec extends AnyFunSuite {
+
+  case class Case(file: String, idx: Int, data: String, fragment: Option[String], expected: String)
+
+  private def loadCases(file: String): Seq[Case] = {
+    val in = getClass.getResourceAsStream(s"/tree-construction/$file")
+    require(in != null, s"missing corpus $file")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    val cases = scala.collection.mutable.ArrayBuffer[Case]()
+    var i = 0
+    var idx = 0
+    while (i < lines.length) {
+      if (lines(i) == "#data") {
+        i += 1
+        val data = new StringBuilder
+        var first = true
+        while (i < lines.length && lines(i) != "#errors") {
+          if (!first) data.append('\n')
+          data.append(lines(i)); first = false
+          i += 1
+        }
+        // skip #errors content
+        i += 1
+        while (i < lines.length && !lines(i).startsWith("#document")) i += 1
+        var fragment: Option[String] = None
+        if (i < lines.length && lines(i) == "#document-fragment") {
+          i += 1
+          fragment = Some(lines(i).trim)
+          i += 1
+          while (i < lines.length && !lines(i).startsWith("#document")) i += 1
+        }
+        i += 1 // past #document
+        val exp = new StringBuilder
+        while (i < lines.length && lines(i) != "#data" && !(lines(i).isEmpty && i + 1 < lines.length && lines(i + 1) == "#data")) {
+          exp.append(lines(i)).append('\n')
+          i += 1
+        }
+        idx += 1
+        cases += Case(file, idx, data.toString, fragment, exp.toString.reverse.dropWhile(_ == '\n').reverse + "\n")
+      } else i += 1
+    }
+    cases.toSeq
+  }
+
+  private val files = Seq("basic.dat", "formatting.dat", "tables.dat",
+    "rawtext.dat", "foreign.dat", "quirks.dat", "fragments.dat", "misc.dat")
+
+  for (f <- files; c <- loadCases(f)) {
+    test(s"${c.file} #${c.idx}: ${c.data.take(50).replace("\n", "\\n")}") {
+      val actual = c.fragment match {
+        case Some(ctx) =>
+          val ns = if (ctx.startsWith("svg ")) Ns.svg else if (ctx.startsWith("math ")) Ns.mathml else Ns.html
+          val name = ctx.stripPrefix("svg ").stripPrefix("math ")
+          Serializer.html5libFormat(HtmlParser.parseFragment(c.data, name, ns).fragment)
+        case None =>
+          Serializer.html5libFormat(HtmlParser.parseDocument(c.data).doc)
+      }
+      assert(actual == c.expected,
+        s"\n--- input ---\n${c.data}\n--- expected ---\n${c.expected}\n--- actual ---\n$actual")
+    }
+  }
+}
