@@ -1,0 +1,244 @@
+package graft.extract
+
+import graft.htmlx._
+import scala.collection.mutable.ArrayBuffer
+
+/** One segmented text block with densitometric features.
+  * Features follow Kohlschütter et al., "Boilerplate Detection using Shallow
+  * Text Features" (WSDM 2010): word count, link density, text density.
+  */
+final case class TextBlock(
+    text: String,
+    words: Int,
+    linkedWords: Int,
+    path: String,
+    isHeading: Boolean) {
+  def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
+  /** Text density: words per 80-char wrapped line (WSDM 2010 §3.2). */
+  def textDensity: Double = {
+    val lines = math.max(1, text.length / 80)
+    words.toDouble / lines
+  }
+}
+
+final case class Span(start: Int, end: Int, path: String)
+
+final case class Extraction(
+    text: String,
+    spans: Array[Span],
+    charCount: Int,
+    nodeCount: Int,
+    blockCount: Int,
+    contentBlockCount: Int)
+
+/** Main-content extraction over the constructed element tree — the new
+  * capability the north star layers on the reference parser (BASELINE.json
+  * north_star: "text-density boilerplate stripping, link-density pruning,
+  * block-level main-content selection").
+  *
+  * Pipeline: DOM → block segmentation (block-level elements split; inline
+  * elements accumulate) → per-block shallow features → the WSDM-2010
+  * number-of-words/link-density decision rules → heading rescue →
+  * newline-joined content text + per-block provenance spans (offsets into
+  * the extracted text + DOM path of the block anchor).
+  */
+object Extractor {
+
+  /** Elements whose subtree text is never rendered content. */
+  private val ignored: Set[String] = Set(
+    "script", "style", "noscript", "template", "iframe", "object", "embed",
+    "applet", "select", "datalist", "option", "optgroup", "textarea",
+    "button", "frameset", "frame", "noframes", "head", "title", "base",
+    "link", "meta", "map", "area", "audio", "video", "source", "track",
+    "canvas", "xmp", "plaintext")
+
+  /** Elements that terminate the current block. */
+  private val blockLevel: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "body", "br", "caption",
+    "center", "dd", "details", "dialog", "dir", "div", "dl", "dt",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hgroup", "hr", "html", "isindex", "li",
+    "listing", "main", "marquee", "menu", "nav", "ol", "p", "pre",
+    "section", "summary", "table", "tbody", "td", "tfoot", "th", "thead",
+    "tr", "ul")
+
+  private val headings: Set[String] = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  def extract(doc: HParent): Extraction = {
+    val blocks = segment(doc)
+    val content = classify(blocks)
+    val sb = new java.lang.StringBuilder
+    val spans = new ArrayBuffer[Span](content.count(identity))
+    var nodeCount = 0
+    def countNodes(n: HNode): Unit = n match {
+      case p: HParent => nodeCount += 1; p.children.foreach(countNodes)
+      case _ => nodeCount += 1
+    }
+    countNodes(doc)
+    var i = 0
+    while (i < blocks.length) {
+      if (content(i)) {
+        val b = blocks(i)
+        if (sb.length > 0) sb.append('\n')
+        val start = sb.length
+        sb.append(b.text)
+        spans += Span(start, sb.length, b.path)
+      }
+      i += 1
+    }
+    val text = sb.toString
+    Extraction(text, spans.toArray, text.length, nodeCount,
+      blocks.length, spans.length)
+  }
+
+  // ---------------------------------------------------------- segmentation
+
+  /** Walk the DOM splitting text into blocks at block-level boundaries. */
+  def segment(root: HParent): Vector[TextBlock] = {
+    val out = new ArrayBuffer[TextBlock](32)
+    val cur = new java.lang.StringBuilder
+    var curWords = 0
+    var curLinked = 0
+    var curPath = "body"
+    var curHeading = false
+    var anchorDepth = 0
+
+    def flush(): Unit = {
+      val text = normalizeWs(cur.toString)
+      cur.setLength(0)
+      if (text.nonEmpty) {
+        out += TextBlock(text, countWords(text), math.min(curLinked, countWords(text)), curPath, curHeading)
+      }
+      curWords = 0
+      curLinked = 0
+      curHeading = false
+    }
+
+    def pathOf(e: HElement, parentPath: String): String = {
+      val idx = e.parent match {
+        case p: HParent => p.children.iterator.filter(_.isInstanceOf[HElement]).indexWhere(_ eq e)
+        case _ => 0
+      }
+      s"$parentPath/${e.name}[$idx]"
+    }
+
+    def walk(n: HNode, path: String, heading: Boolean): Unit = n match {
+      case e: HElement =>
+        if (!(e.ns eq Ns.html)) { /* svg/math subtree: skip text */ }
+        else if (ignored.contains(e.name)) ()
+        else {
+          val isBlock = blockLevel.contains(e.name)
+          val childPath = if (isBlock) pathOf(e, path) else path
+          val childHeading = heading || headings.contains(e.name)
+          if (isBlock) { flush(); curPath = childPath; curHeading = childHeading }
+          if (e.name == "a") {
+            anchorDepth += 1
+            e.children.foreach(walk(_, childPath, childHeading))
+            anchorDepth -= 1
+          } else {
+            e.children.foreach(walk(_, childPath, childHeading))
+          }
+          if (isBlock) { flush(); curPath = path; curHeading = heading }
+        }
+      case t: HText =>
+        val txt = t.text
+        cur.append(txt)
+        if (anchorDepth > 0) curLinked += countWords(txt)
+      case p: HParent => p.children.foreach(walk(_, path, heading))
+      case _ => ()
+    }
+
+    // start from body if present, else whole doc
+    val body = findBody(root)
+    body match {
+      case Some(b) =>
+        curPath = "body"
+        b.children.foreach(walk(_, "body", heading = false))
+      case None =>
+        root.children.foreach(walk(_, "", heading = false))
+    }
+    flush()
+    out.toVector
+  }
+
+  def findBody(root: HParent): Option[HElement] = {
+    root.children.collectFirst { case e: HElement if e.isHtmlNs && e.name == "html" => e }
+      .flatMap(_.children.collectFirst { case e: HElement if e.isHtmlNs && e.name == "body" => e })
+      .orElse(root.children.collectFirst { case e: HElement if e.isHtmlNs && e.name == "body" => e })
+  }
+
+  def normalizeWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var lastWs = true
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == '\u00A0'
+      if (ws) { if (!lastWs) sb.append(' '); lastWs = true }
+      else { sb.append(c); lastWs = false }
+      i += 1
+    }
+    // trim trailing space
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  def countWords(s: String): Int = {
+    var i = 0
+    var words = 0
+    var inWord = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == '\u00A0'
+      if (!ws && !inWord) { words += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    words
+  }
+
+  // -------------------------------------------------------- classification
+
+  /** WSDM-2010 "NumWords/LinkDensity" decision rules (paper §5, the
+    * densitometric classifier also used by the public boilerpipe reference
+    * implementation), plus a heading-rescue pass: a heading block is kept
+    * when one of the next two blocks is content.
+    */
+  def classify(blocks: Vector[TextBlock]): Array[Boolean] = {
+    val n = blocks.length
+    val content = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val curr = blocks(i)
+      val prev = if (i > 0) blocks(i - 1) else TextBlock("", 0, 0, "", isHeading = false)
+      val next = if (i + 1 < n) blocks(i + 1) else TextBlock("", 0, 0, "", isHeading = false)
+      content(i) =
+        if (curr.linkDensity > 0.333333) false
+        else if (curr.words >= 25 && curr.linkDensity <= 0.1) true // standalone prose
+        else if (prev.linkDensity <= 0.555556) {
+          curr.words > 16 || next.words > 15 || prev.words > 4
+        } else {
+          curr.words > 40 || next.words > 17
+        }
+      i += 1
+    }
+    // headings announce what follows: keep a heading iff the first
+    // non-heading block within the next three is content.
+    i = 0
+    while (i < n) {
+      if (blocks(i).isHeading) {
+        var j = i + 1
+        var verdict = false
+        var looked = 0
+        var done = false
+        while (!done && j < n && looked < 3) {
+          if (!blocks(j).isHeading) { verdict = content(j); done = true }
+          j += 1; looked += 1
+        }
+        content(i) = verdict && blocks(i).linkDensity <= 0.333333
+      }
+      i += 1
+    }
+    content
+  }
+}

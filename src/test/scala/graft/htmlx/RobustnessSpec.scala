@@ -1,0 +1,55 @@
+package graft.htmlx
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.extract.Extractor
+
+/** Property tests: the engine never throws, always yields a tree, and is
+  * deterministic on arbitrary tag soup (SURVEY.md §5.2-6). */
+class RobustnessSpec extends AnyFunSuite {
+
+  private val tagNames = Gen.oneOf("div", "p", "b", "i", "a", "table", "td",
+    "tr", "li", "ul", "span", "svg", "math", "select", "option", "form",
+    "button", "h1", "pre", "textarea", "script", "style", "frameset",
+    "nobr", "custom-tag", "br", "img", "caption", "colgroup", "noscript")
+
+  private val soupPiece: Gen[String] = Gen.oneOf(
+    tagNames.map(t => s"<$t>"),
+    tagNames.map(t => s"</$t>"),
+    tagNames.map(t => s"<$t attr='v&amp;' x=y>"),
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("&amp;", "&not", "&#x41;", "&#999999999;", "&bogus;", "&"),
+    Gen.oneOf("<!--", "-->", "<!-- c -->", "<![CDATA[x]]>", "<!doctype html>",
+      "<?pi?>", " ", "\r\n", "<", ">", "\"", "'", "=", "<!", "</"),
+  )
+
+  private val soup: Gen[String] =
+    Gen.listOf(soupPiece).map(_.mkString)
+
+  private def runProp(prop: Prop, n: Int): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("parser never throws and is deterministic on tag soup") {
+    runProp(Prop.forAll(soup) { html =>
+      val r1 = HtmlParser.parseDocument(html)
+      val r2 = HtmlParser.parseDocument(html)
+      val ok = Serializer.html5libFormat(r1.doc) == Serializer.html5libFormat(r2.doc)
+      val e1 = Extractor.extract(r1.doc)
+      val e2 = Extractor.extract(r2.doc)
+      ok && e1.text == e2.text
+    }, 300)
+  }
+
+  test("fragment parsing never throws on tag soup") {
+    runProp(Prop.forAll(soup, Gen.oneOf("div", "td", "table", "title", "script", "select")) {
+      (html, ctx) =>
+        val r = HtmlParser.parseFragment(html, ctx)
+        Serializer.html5libFormat(r.fragment) != null
+    }, 150)
+  }
+}
