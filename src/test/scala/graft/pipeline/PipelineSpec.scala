@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end Spark pipeline tests (SURVEY.md §5.2-5): per-url byte equality
+  * vs ground truth and vs the sequential engine, checkpoint/resume, metrics.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkEnv.session("local[4]", "graft-test", shufflePartitions = 8)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val tmp: String = Files.createTempDirectory("graft-pipe").toString
+  private val rows = 300L
+  private val buckets = 16
+
+  override def beforeAll(): Unit = {
+    SynthCorpusJob.write(spark, rows, s"$tmp/pages", partitions = 4)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("pipeline output is byte-identical to ground truth for every url") {
+    import spark.implicits._
+    val res = ExtractPipeline.run(spark, s"$tmp/pages", s"$tmp/out", buckets = buckets)
+    assert(res.rowsProcessed == rows)
+    val extracted = spark.read.parquet(s"$tmp/out/extracted")
+    assert(extracted.count() == rows)
+    val truth = spark.read.parquet(s"$tmp/pages").select($"url", $"text".as("expected"))
+    val joined = extracted.join(broadcast(truth), Seq("url"), "full_outer")
+    val bad = joined.filter(!($"text" <=> $"expected") || !$"ok").count()
+    assert(bad == 0, s"$bad rows mismatch ground truth")
+  }
+
+  test("pipeline equals sequential engine per url (shuffle invariance)") {
+    import spark.implicits._
+    val sample = spark.read.parquet(s"$tmp/pages")
+      .select($"url", $"html").as[(String, Array[Byte])]
+      .collect().take(40)
+    val viaPipeline = spark.read.parquet(s"$tmp/out/extracted")
+      .select($"url", $"text", $"char_count").as[(String, String, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    sample.foreach { case (url, html) =>
+      val seq = ExtractPipeline.parseOne(url, html)
+      val (pText, pChars) = viaPipeline(url)
+      assert(seq.text == pText && seq.char_count == pChars, s"mismatch at $url")
+    }
+  }
+
+  test("extracted rows carry spans, charset, and a quirks-page parses") {
+    import spark.implicits._
+    val one = spark.read.parquet(s"$tmp/out/extracted").filter($"url".endsWith("/doc/8")).head()
+    assert(one.getAs[scala.collection.Seq[_]]("spans").nonEmpty)
+    assert(one.getAs[String]("detected_charset") == "utf-8")
+    val errs = spark.read.parquet(s"$tmp/out/extracted").agg(sum(size($"errors"))).head().getLong(0)
+    // hazard pages produce parse errors (foster parenting, quirks) but all rows stay ok
+    assert(errs > 0)
+  }
+
+  test("metrics table sums to input rows and marks all buckets") {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$tmp/out/metrics")
+    assert(m.agg(sum($"rows")).head().getLong(0) == rows)
+    assert(m.select($"bucket").distinct().count() == buckets.toLong)
+    assert(m.filter($"failed" > 0).count() == 0)
+  }
+
+  test("rerun is a no-op (resume from checkpoint)") {
+    val res = ExtractPipeline.run(spark, s"$tmp/pages", s"$tmp/out", buckets = buckets)
+    assert(res.pendingBuckets == 0 && res.rowsProcessed == 0)
+  }
+
+  test("partial checkpoint resumes only pending buckets") {
+    import spark.implicits._
+    val out2 = s"$tmp/out2"
+    // pre-mark half the buckets done at epoch 0 with fake metrics
+    val fake = (0 until buckets / 2).map(b =>
+      BucketMetrics(0, b, 0, 0, 0, 0, 0, 0, new java.sql.Timestamp(0)))
+    spark.createDataset(fake).write.mode("overwrite").parquet(s"$out2/metrics")
+    val res = ExtractPipeline.run(spark, s"$tmp/pages", out2, buckets = buckets)
+    assert(res.pendingBuckets == buckets / 2)
+    val extracted = spark.read.parquet(s"$out2/extracted")
+    val seen = extracted.select($"bucket").distinct().as[Int].collect().toSet
+    assert(seen.forall(_ >= buckets / 2), s"processed done buckets: $seen")
+    val m2 = spark.read.parquet(s"$out2/metrics")
+    assert(m2.select($"bucket").distinct().count() == buckets.toLong)
+  }
+
+  test("heavy host spreads across multiple buckets (salting)") {
+    import spark.implicits._
+    val b = spark.read.parquet(s"$tmp/pages")
+      .withColumn("bucket", ExtractPipeline.bucketCol(col("url"), buckets, 16, 0))
+      .filter($"url".contains(SynthCorpus.heavyHost))
+      .select($"bucket").distinct().count()
+    assert(b > 4, s"heavy host concentrated in $b buckets")
+  }
+}
