@@ -1,24 +1,79 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ExtractPipeline, SparkEnv, SynthCorpus}
+
+/** Driver-run benchmark: one JSON line with per-query seconds plus the
+  * extraction-throughput headline (docs/sec), the metric named by
+  * BASELINE.json. Each query is warmed once at sf0.001 before timing so JIT
+  * compilation does not pollute the measurement (see
+  * .claude/skills/verify/SKILL.md — cold-JVM numbers are off by up to 80×).
+  */
 object Bench {
+
+  def extractionBench(spark: SparkSession, nDocs: Long): (Double, Long) = {
+    import spark.implicits._
+    // Same shape as ExtractPipeline.run: prune to (url, html) BEFORE the
+    // salted repartition so only parse inputs cross the shuffle.
+    val pages = spark.range(0, nDocs, 1, spark.sparkContext.defaultParallelism * 4)
+      .map(i => SynthCorpus.pageRow(i)).toDF()
+      .select($"url", $"html")
+      .withColumn("bucket", ExtractPipeline.bucketCol($"url", 256, 16, 0))
+      .repartition(spark.sparkContext.defaultParallelism * 4, $"bucket")
+    val t0 = System.nanoTime()
+    val n = ExtractPipeline.parseStage(pages)(spark)
+      .filter($"ok").count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = SparkEnv.session(s"local[$cpus]", "graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // ---- warmup: JIT the engine + every query shape at the smallest SF
+    extractionBench(spark, 2000)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    }
+
+    // ---- timed queries at the requested SF
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- extraction throughput headline (docs/sec at this parallelism)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
+    extractionBench(spark, math.min(nDocs, 5000)) // warm the exact shape
+    val (sec, n) = extractionBench(spark, nDocs)
+    val docsPerSec = n / sec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + sec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$n,"extract_sec":$sec%.3f,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
+
+/** Scaling evidence for the north rule (≥0.8 efficiency N→4N): run the same
+  * extraction job at two parallelism levels; see BENCH/BASELINE.md.
+  * usage: ScalingBench [nDocs]  (cores from SPARK_GRAFT_CPUS)
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 40000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkEnv.session(s"local[$cpus]", "graft-scaling", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.extractionBench(spark, 2000) // JIT warmup
+    Bench.extractionBench(spark, math.min(nDocs, 10000)) // shape warmup
+    val (sec, n) = Bench.extractionBench(spark, nDocs)
+    println(f"""{"cpus":$cpus,"docs":$n,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f}""")
     spark.stop()
   }
 }

@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ExtractPipeline, SynthCorpus}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * DuckDB oracle SQL alongside where the semantics are SQL-expressible.
+  *
+  * The extraction queries synthesize the Common-Crawl-style page table
+  * deterministically from the `documents` table (FIXTURES.md §1), which lets
+  * the DuckDB oracle reconstruct the expected extracted text with pure SQL:
+  * the pipeline must reproduce it byte-identically through HTML-wrap →
+  * tokenize → tree-build → boilerplate-strip.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** documents → deterministic CC-style page table (url, html). */
+  private def pages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) => (SynthCorpus.url(id), SynthCorpus.pageBytes(id, t)) }
+      .toDF("url", "html")
+  }
+
+  /** Salted-repartitioned full extraction over the synthesized pages. */
+  private def extracted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucketed = pages(s, dir)
+      .withColumn("bucket", ExtractPipeline.bucketCol($"url", 32, 16, 0))
+      .repartition(32, $"bucket")
+    ExtractPipeline.parseStage(bucketed)(s)
+      .withColumn("doc_id", regexp_extract($"url", "/doc/(\\d+)$", 1).cast("long"))
+  }
+
+  /** Flagship: full extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    extracted(spark, "/root/testdata/sf0.001").select("doc_id", "text", "char_count")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ extraction pipeline
+    "extract_roundtrip" -> ((s, dir) => {
+      extracted(s, dir).select(col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    "extract_stats" -> ((s, dir) => {
+      extracted(s, dir)
+        .select(col("doc_id"), col("char_count"),
+          size(col("spans")).as("span_count"), col("ok"))
+        .orderBy("doc_id")
+    }),
+    "host_stats" -> ((s, dir) => {
+      pages(s, dir)
+        .select(ExtractPipeline.hostCol(col("url")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n"))
+        .orderBy("host")
+    }),
+    // --------------------------------------------------------------- dedup
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "copies").orderBy("doc_id")
+    }),
+    "dedup_jaccard_adjacent" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+          (size(col("a.sh")) + size(col("b.sh")) -
+            size(array_intersect(col("a.sh"), col("b.sh")))).as("uni"))
+        .orderBy("doc_id")
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("id1", "id2")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 8)
+        .orderBy("id1", "id2")
+    }),
+    // ---------------------------------------------------------- similarity
+    "ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "vec", 10)
+        .orderBy("qid", "rank")
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "vec", 10)
+        .orderBy("qid", "rank")
+    }),
+    // -------------------------------------------------------- text analysis
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+    "token_counts" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"),
+        TextAnalysis.subwordEstimate(col("text")).as("subwords"),
+        TextAnalysis.stopwordCount(col("text")).as("stopwords"))
+        .orderBy("doc_id")
+    }),
+    "lang_distribution" -> ((s, dir) => {
+      docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars")).orderBy("lang")
+    }),
+    "lang_id_heuristic" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+    }),
+    "doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        size(TextAnalysis.winnowing(col("text"))).as("winnow_count"))
+        .orderBy("doc_id")
+    }),
+    // ----------------------------------------------------------- multimodal
+    "mm_decode_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.features(media, "doc_id", "media", "text")
+        .select(col("id").as("doc_id"), col("byte_len"), col("frames"))
+        .orderBy("doc_id")
+    }),
+    // ----------------------------------------------------- relational core
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_top10" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet").filter(col("c_mktsegment") === "BUILDING")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "events_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("event_type")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "extract_roundtrip" ->
+      """SELECT doc_id,
+        |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "extract_stats" ->
+      """SELECT doc_id,
+        |  length('Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS char_count,
+        |  2 AS span_count, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "host_stats" ->
+      """SELECT CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
+        |            ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END AS host,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS copies
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+    "dedup_jaccard_adjacent" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(len(w) - 2), i -> w[i+1] || w[i+2] || w[i+3])) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS doc_id,
+        |        len(list_intersect(a.sh, b.sh)) AS inter,
+        |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        |      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1)
+        |SELECT doc_id, inter, uni FROM p ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
+        |SELECT qid, rank, nid FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS tokens,
+        |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_chars,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+        |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_chars,
+        |  CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100 /
+        |       greatest(len(string_split_regex(trim(text), '\s+')), 1)) AS BIGINT) AS mean_word_len_x100
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS tokens,
+        |  list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    w -> 1 + CAST(greatest(length(w) - 4, 0) / 4 AS BIGINT))) :: BIGINT AS subwords,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this'], w))) AS stopwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_distribution" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  octet_length(encode(text)) % 30 + 1 AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_top10" ->
+      """SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "events_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
 }

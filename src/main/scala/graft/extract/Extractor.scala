@@ -104,58 +104,76 @@ object Extractor {
     var anchorDepth = 0
 
     def flush(): Unit = {
-      val text = normalizeWs(cur.toString)
+      // single pass over the accumulated chars: collapse whitespace runs,
+      // count words
+      val n = cur.length
+      val sb = new java.lang.StringBuilder(n)
+      var words = 0
+      var lastWs = true
+      var i = 0
+      while (i < n) {
+        val c = cur.charAt(i)
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == '\u00A0'
+        if (ws) { if (!lastWs) sb.append(' '); lastWs = true }
+        else { if (lastWs) words += 1; sb.append(c); lastWs = false }
+        i += 1
+      }
+      while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
       cur.setLength(0)
-      if (text.nonEmpty) {
-        out += TextBlock(text, countWords(text), math.min(curLinked, countWords(text)), curPath, curHeading)
+      if (sb.length > 0) {
+        out += TextBlock(sb.toString, words, math.min(curLinked, words), curPath, curHeading)
       }
       curWords = 0
       curLinked = 0
       curHeading = false
     }
 
-    def pathOf(e: HElement, parentPath: String): String = {
-      val idx = e.parent match {
-        case p: HParent => p.children.iterator.filter(_.isInstanceOf[HElement]).indexWhere(_ eq e)
-        case _ => 0
+    // element index among element-children, computed during iteration
+    // (avoids an O(children) scan per block element)
+    def walkChildren(p: HParent, path: String, heading: Boolean): Unit = {
+      var elemIdx = 0
+      val cs = p.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case e: HElement =>
+            walk(e, elemIdx, path, heading)
+            elemIdx += 1
+          case t: HText =>
+            cur.append(t.sb)
+            if (anchorDepth > 0) curLinked += countWords(t.sb.toString)
+          case _ => ()
+        }
+        i += 1
       }
-      s"$parentPath/${e.name}[$idx]"
     }
 
-    def walk(n: HNode, path: String, heading: Boolean): Unit = n match {
-      case e: HElement =>
-        if (!(e.ns eq Ns.html)) { /* svg/math subtree: skip text */ }
-        else if (ignored.contains(e.name)) ()
-        else {
-          val isBlock = blockLevel.contains(e.name)
-          val childPath = if (isBlock) pathOf(e, path) else path
-          val childHeading = heading || headings.contains(e.name)
-          if (isBlock) { flush(); curPath = childPath; curHeading = childHeading }
-          if (e.name == "a") {
-            anchorDepth += 1
-            e.children.foreach(walk(_, childPath, childHeading))
-            anchorDepth -= 1
-          } else {
-            e.children.foreach(walk(_, childPath, childHeading))
-          }
-          if (isBlock) { flush(); curPath = path; curHeading = heading }
+    def walk(e: HElement, elemIdx: Int, path: String, heading: Boolean): Unit = {
+      if (!(e.ns eq Ns.html)) () // svg/math subtree: skip text
+      else if (ignored.contains(e.name)) ()
+      else {
+        val isBlock = blockLevel.contains(e.name)
+        val childPath = if (isBlock) s"$path/${e.name}[$elemIdx]" else path
+        val childHeading = heading || headings.contains(e.name)
+        if (isBlock) { flush(); curPath = childPath; curHeading = childHeading }
+        if (e.name == "a") {
+          anchorDepth += 1
+          walkChildren(e, childPath, childHeading)
+          anchorDepth -= 1
+        } else {
+          walkChildren(e, childPath, childHeading)
         }
-      case t: HText =>
-        val txt = t.text
-        cur.append(txt)
-        if (anchorDepth > 0) curLinked += countWords(txt)
-      case p: HParent => p.children.foreach(walk(_, path, heading))
-      case _ => ()
+        if (isBlock) { flush(); curPath = path; curHeading = heading }
+      }
     }
 
     // start from body if present, else whole doc
-    val body = findBody(root)
-    body match {
+    findBody(root) match {
       case Some(b) =>
         curPath = "body"
-        b.children.foreach(walk(_, "body", heading = false))
+        walkChildren(b, "body", heading = false)
       case None =>
-        root.children.foreach(walk(_, "", heading = false))
+        walkChildren(root, "", heading = false)
     }
     flush()
     out.toVector

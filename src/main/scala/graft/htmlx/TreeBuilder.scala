@@ -158,18 +158,24 @@ final class TreeBuilder extends TokenHandler {
     val (parent, before) = insertionPlace()
     if (parent.isInstanceOf[HDocument]) return // dropped (spec)
     if (before == null) {
-      parent.children.lastOption match {
-        case Some(t: HText) => t.sb.append(cs, from, to)
-        case _ =>
-          val t = new HText(cs.subSequence(from, to))
-          parent.appendChild(t)
+      val n = parent.children.length
+      if (n > 0 && parent.children(n - 1).isInstanceOf[HText])
+        parent.children(n - 1).asInstanceOf[HText].sb.append(cs, from, to)
+      else {
+        val t = new HText("")
+        t.sb.append(cs, from, to)
+        parent.appendChild(t)
       }
     } else {
       // foster: if node before `before` is text, merge
       val i = parent.children.indexOf(before)
       if (i > 0 && parent.children(i - 1).isInstanceOf[HText])
         parent.children(i - 1).asInstanceOf[HText].sb.append(cs, from, to)
-      else parent.insertBefore(new HText(cs.subSequence(from, to)), before)
+      else {
+        val t = new HText("")
+        t.sb.append(cs, from, to)
+        parent.insertBefore(t, before)
+      }
     }
   }
 
@@ -572,6 +578,19 @@ final class TreeBuilder extends TokenHandler {
       if (from < end && s.charAt(from) == '\n') from += 1
     }
     if (from >= end) return
+    // Fast path for the dominant modes: in body / text, ws and non-ws chars
+    // take the same insertion route (only framesetOk differs), so the whole
+    // run can be inserted in one append instead of per-segment calls.
+    if ((mode == InBody || mode == InCaption || mode == InCell || mode == Text) &&
+        (stack.isEmpty || (adjustedCurrent.ns eq Ns.html))) {
+      var hasNonWs = false
+      var i = from
+      while (i < end && !hasNonWs) { if (!isWsChar(s.charAt(i))) hasNonWs = true; i += 1 }
+      if (mode != Text) reconstructAfe()
+      insertChars(s, from, end)
+      if (hasNonWs && mode != Text) framesetOk = false
+      return
+    }
     // split into ws / non-ws segments
     var i = from
     while (i < end) {

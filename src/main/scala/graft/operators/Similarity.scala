@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale notes: brute force scores |Q|×|C| pairs — correct baseline, used
+  * with a small broadcast query set. The scale path is [[lshTopK]]: random
+  * hyperplane signatures bucket the corpus (narrow pass), only same-bucket
+  * pairs are scored. Dot products use codegen'd `zip_with`/`aggregate`
+  * builtins — no UDF, stays inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** dot(a, b) via built-ins (both arrays of float/double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector (brute force).
+    * `queries` is expected small → broadcast; ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
+  /** Deterministic pseudo-random hyperplane: component c of plane p derives
+    * from xxhash64(p, c), scaled to [-1, 1). Shared by signature and tests. */
+  private def planeComponent(p: Column, cIdx: Column): Column =
+    (xxhash64(p, cIdx).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-of-projection LSH signature: bit p = sign(dot(vec, plane_p)). */
+  def lshSignature(vecCol: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+            (v, i) => v * planeComponent(p, i)),
+          lit(0.0d), (a, v) => a + v)
+        acc.bitwiseOR(call_function("shiftleft", when(proj > 0, 1L).otherwise(0L), p))
+      })
+
+  /** ANN top-k via hyperplane LSH: candidates share the bucket signature;
+    * exact cosine within buckets. Recall < 1 by construction — verified
+    * against [[bruteForceTopK]] in tests. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      lshSignature(col(vecCol), planes).as("nsig"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      lshSignature(col(vecCol), planes).as("qsig"))
+    // probe own bucket + hamming-1 neighbors via bit flips
+    val probes = q.select(col("qid"), col("qvec"),
+      explode(concat(array(col("qsig")),
+        transform(sequence(lit(0), lit(planes - 1)),
+          p => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("sig"))
+    val scored = c.join(broadcast(probes),
+        col("nsig") === col("sig") && col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+}

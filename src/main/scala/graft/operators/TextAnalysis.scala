@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, document fingerprinting. All column expressions are
+  * built-ins (codegen'd); the language profiles live driver-side and compile
+  * into literal arrays.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column =
+    size(split(trim(textCol), "\\s+"))
+
+  /** BPE-ish subword estimate: words + extra tokens for long words (every 4
+    * chars past the first 4) — a cheap deterministic proxy for tokenizer
+    * budget planning. */
+  def subwordEstimate(textCol: Column): Column =
+    aggregate(split(trim(textCol), "\\s+"), lit(0L),
+      (acc, w) => acc + lit(1L) + (greatest(length(w) - 4, lit(0)) / 4).cast("long"))
+
+  /** Quality features (integer-valued to keep oracles exact):
+    * chars, tokens, punct chars, digit chars, uppercase chars,
+    * mean word length ×100 (floored). */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("chars"),
+      tokenCount(t).as("tokens"),
+      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).as("punct_chars"),
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("digit_chars"),
+      (length(t) - length(regexp_replace(t, "[A-Z]", ""))).as("upper_chars"),
+      floor(length(regexp_replace(t, "\\s", "")) * 100 / greatest(tokenCount(t), lit(1))).as("mean_word_len_x100"))
+  }
+
+  /** Stopword-based quality: fraction of tokens in a small English stopword
+    * list, ×1000 floored (integer-exact for the oracle). */
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "for", "on", "with", "as", "at", "by", "it", "this")
+
+  def stopwordCount(textCol: Column): Column =
+    size(filter(split(lower(trim(textCol)), "\\s+"),
+      w => w.isInCollection(enStop)))
+
+  /** Language-ID heuristic: score per language = count of tokens in that
+    * language's marker list; winner = argmax (ties → "und"). Markers are
+    * high-frequency function words — the classic cheap n-gram/stopword
+    * profile approach. */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "are"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "que", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "für", "auf", "von"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "con", "del", "sono", "non"))
+
+  def langScores(textCol: Column): Map[String, Column] = {
+    val words = split(lower(trim(textCol)), "\\s+")
+    profiles.map { case (lang, markers) =>
+      lang -> size(filter(words, w => w.isInCollection(markers)))
+    }
+  }
+
+  def langId(textCol: Column): Column = {
+    val scores = langScores(textCol)
+    val pairs = scores.toSeq.sortBy(_._1)
+    // argmax with deterministic tie handling: require a strictly positive,
+    // unique max; otherwise "und"
+    val maxScore = greatest(pairs.map(_._2): _*)
+    val winners = filter(
+      array(pairs.map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }: _*),
+      x => x.getField("s") === maxScore)
+    when(maxScore <= 0 || size(winners) > 1, lit("und"))
+      .otherwise(element_at(winners, 1).getField("l"))
+  }
+
+  /** Karp–Rabin rolling fingerprint of the whole text:
+    * fp = Σ c_i · B^(n-1-i) mod (2^31 − 1), B = 31. The Mersenne-prime
+    * modulus keeps every intermediate < 2^36, so the arithmetic is exact
+    * under ANSI mode and reproducible in any SQL dialect. */
+  def fingerprint(textCol: Column): Column =
+    aggregate(
+      transform(split(textCol, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + c, lit(2147483647L)))
+
+  /** Winnowing-style robust fingerprints: the set of distinct minima of
+    * xxhash64 over each sliding window of `w` word-shingles — the classic
+    * local fingerprinting scheme (Schleimer et al., SIGMOD 2003). */
+  def winnowing(textCol: Column, shingleSize: Int = 3, window: Int = 4): Column = {
+    val sh = Dedup.shingles(textCol, shingleSize)
+    val n = size(sh)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(n - window, lit(0))),
+          i => when(i + window <= n, array_min(slice(sh, i + lit(1), lit(window))))),
+        c => c.isNotNull))
+  }
+}

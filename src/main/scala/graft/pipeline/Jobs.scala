@@ -16,6 +16,10 @@ object SparkEnv {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // CPU-scaling measurements must not bottleneck on the sandbox's slow
+      // /tmp overlay; a real cluster's shuffle bandwidth scales with nodes.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
     val withMaster = if (master != null) b.master(master) else b
     withMaster.getOrCreate()
   }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkEnv
+
+/** Unit tests for the training-data operators, including planted-duplicate
+  * recall for the sketch-based dedup paths that have no SQL oracle. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkEnv.session("local[4]", "graft-ops-test", shufflePartitions = 8)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def docsWithPlantedDups = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sleepy badgers watch a meteor shower from the hillside meadow near town"
+    val rows = Seq(
+      (0L, base),
+      (1L, base), // exact duplicate of 0
+      (2L, base.replace("meteor", "comet")), // near-dup of 0
+      (3L, "completely different text about spark catalyst optimizer rules " +
+        "and whole stage code generation for columnar execution engines today"),
+      (4L, base.replace("seventeen", "nineteen").replace("hillside", "valley")), // near-dup
+      (5L, "another unrelated document mentioning minhash signatures locality " +
+        "sensitive hashing banding techniques and jaccard similarity estimation")
+    )
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id and counts copies") {
+    import spark.implicits._
+    val out = Dedup.exact(docsWithPlantedDups, "doc_id", "text")
+      .select($"doc_id", $"copies").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2) // docs 0 and 1 merged
+    assert(!out.contains(1L))
+    assert(out(2L) == 1 && out(3L) == 1)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val pairs = Dedup.minhashDedup(docsWithPlantedDups, "doc_id", "text",
+        threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    import spark.implicits._
+    val sims = docsWithPlantedDups
+      .select($"doc_id", Dedup.simhash($"text").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L)) // identical text, identical simhash
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(0L), sims(2L)) <= 8)
+    assert(hamming(sims(0L), sims(3L)) > 12)
+  }
+
+  test("brute-force ANN returns self-evident nearest neighbor") {
+    import spark.implicits._
+    // vectors: id 0 and 1 nearly parallel; id 2 orthogonal-ish
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.1)),
+      (1L, Seq(0.99, 0.01, 0.0, 0.1)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.9, 0.1, 0.0)),
+      (4L, Seq(0.5, 0.5, 0.5, 0.5))
+    ).toDF("vec_id", "vec")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "vec", 2)
+      .select($"rank", $"nid").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L) // closest to 0 is 1
+  }
+
+  test("LSH ANN achieves high recall vs brute force on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 500L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "vec")
+    val queries = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "vec", 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vecs, queries, "vec_id", "vec", 5, planes = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("language ID picks the right language on real sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun", "en"),
+      (2L, "le chat est sur la table et il regarde les oiseaux dans le jardin", "fr"),
+      (3L, "el perro come la comida y los gatos juegan en el jardin con una pelota", "es"),
+      (4L, "der hund ist nicht alt und die katze spielt mit einem ball auf der wiese", "de"),
+      (5L, "xyzzy plugh qwerty asdf", "und")
+    ).toDF("id", "text", "expected")
+    val out = samples.select($"expected", TextAnalysis.langId($"text").as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(exp == got, s"expected $exp got $got") }
+  }
+
+  test("fingerprint is deterministic and winnowing is order-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "theta eta zeta epsilon delta gamma beta alpha")).toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal decode stage preserves batch shape and determinism") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val media = (0L until 100L).map(i =>
+      (i, Array.fill((i % 50 + 1).toInt)((i % 251).toByte))).toDF("id", "media")
+    val out = Multimodal.features(media, "id", "media", "image")
+    val rows = out.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.frames == r.byte_len % 30 + 1)
+      assert(r.feature.length == 8)
+    }
+    // determinism
+    val again = Multimodal.features(media, "id", "media", "image").collect()
+    assert(rows.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+}
