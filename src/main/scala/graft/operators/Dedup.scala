@@ -33,12 +33,18 @@ object Dedup {
         c => c.isNotNull))
   }
 
-  /** MinHash signature of the shingle set: sig[j] = min over shingles of
-    * h_j(s), h_j(s) = xxhash64(s, j). Computed with codegen'd built-ins —
-    * no UDF (SURVEY.md guidance: functions, not UDFs). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(shingleCol, s => xxhash64(s, j))))
+  /** MinHash signatures, computed by exploding the shingle set once and
+    * taking `numHashes` min-aggregates in a single hash-aggregation pass
+    * (map-side combine; one shuffle of (id, 64 longs)). A nested
+    * `transform(transform(...))` column expression would re-inline the
+    * shingle computation per hash function — 64× the work. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleSize: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleSize)).as("sh"))
+    exploded.groupBy(col("id"))
+      .agg(array((0 until numHashes).map(j => min(xxhash64(col("sh"), lit(j)))): _*).as("sig"))
+  }
 
   /** LSH candidate pairs: docs sharing any band bucket. Bucket sizes capped
     * at `maxBucket` to bound the per-bucket pair join. Returns (id1, id2)
@@ -48,9 +54,7 @@ object Dedup {
                         shingleSize: Int = 3, maxBucket: Int = 256)
                        (implicit spark: SparkSession): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = docs
-      .select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
@@ -92,8 +96,9 @@ object Dedup {
       minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize),
       idCol, textCol, shingleSize, threshold)
 
-  /** 64-bit SimHash over word features, computed with built-ins: for each
-    * bit j, sign of Σ_words (bit_j(hash(w)) ? +1 : -1). */
+  /** 64-bit SimHash over word features: for each bit j, the sign of
+    * Σ_words (bit_j(hash(w)) ? +1 : -1). Single-column expression retained
+    * for per-row use (tests, single docs). */
   def simhash(textCol: Column): Column = {
     val hashes = transform(array_distinct(split(textCol, " ")), w => xxhash64(w))
     val bits = transform(sequence(lit(0), lit(63)), j =>
@@ -104,23 +109,46 @@ object Dedup {
       (acc, j) => acc.bitwiseOR(call_function("shiftleft", element_at(bits, j + lit(1)), j)))
   }
 
+  /** SimHash for a whole corpus: explode distinct words once, 64 signed-sum
+    * aggregates in one hash-agg pass, assemble the bits — the scalable
+    * formulation of [[simhash]] (identical output, verified in tests). */
+  def simhashAll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val aggs = (0 until 64).map(j =>
+      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val sums = words.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val simExpr = (0 until 64).map(j =>
+      call_function("shiftleft", when(col(s"b$j") > 0, 1L).otherwise(0L), lit(j)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), simExpr.as("sim"))
+  }
+
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit keys;
     * docs sharing any key are candidates (guarantees recall for hamming
-    * distance ≤ 3); verify with exact hamming distance. */
+    * distance ≤ 3 by pigeonhole); verify with exact hamming distance.
+    * Oversized key buckets are capped like the MinHash path. */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val withSim = simhashAll(docs, idCol, textCol)
     val keyed = withSim.select(col("id"), col("sim"),
         posexplode(transform(sequence(lit(0), lit(3)), k =>
           call_function("shiftright", col("sim"), k * 16).bitwiseAND(0xFFFFL))))
       .withColumnRenamed("pos", "k").withColumnRenamed("col", "key")
+    val capped = keyed
+      .withColumn("bn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("k", "key").orderBy("id")))
+      .filter(col("bn") <= maxBucket)
     val popcount = (c: Column) => bit_count(c)
-    keyed.as("a").join(keyed.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.k") === col("b.k") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         popcount(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -119,6 +119,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("simhashAll matches the per-row simhash expression") {
+    import spark.implicits._
+    val df = docsWithPlantedDups
+    val perRow = df.select($"doc_id", Dedup.simhash($"text").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val bulk = Dedup.simhashAll(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(perRow == bulk)
+  }
+
   test("multimodal decode stage preserves batch shape and determinism") {
     import spark.implicits._
     implicit val s: SparkSession = spark
