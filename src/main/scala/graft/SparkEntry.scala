@@ -159,6 +159,10 @@ object SparkEntry {
     }),
   )
 
+  /** Test hook: expose query builders for physical-plan assertions. */
+  def queriesForPlanCheck(name: String): (SparkSession, String) => DataFrame =
+    queries(name)
+
   def oracleSql: Map[String, String] = Map(
     "extract_roundtrip" ->
       """SELECT doc_id,

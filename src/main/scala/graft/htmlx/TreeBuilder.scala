@@ -1699,7 +1699,7 @@ final class TreeBuilder extends TokenHandler {
         err("eof in text element")
         pop()
         mode = originalMode
-        eofFinal()
+        eof() // reprocess EOF in the restored mode (spec)
       case _ => eofFinal()
     }
   }

@@ -49,7 +49,8 @@ class TreeConstructionSpec extends AnyFunSuite {
   }
 
   private val files = Seq("basic.dat", "formatting.dat", "tables.dat",
-    "rawtext.dat", "foreign.dat", "quirks.dat", "fragments.dat", "misc.dat")
+    "rawtext.dat", "foreign.dat", "quirks.dat", "fragments.dat", "misc.dat",
+    "advanced.dat")
 
   for (f <- files; c <- loadCases(f)) {
     test(s"${c.file} #${c.idx}: ${c.data.take(50).replace("\n", "\\n")}") {

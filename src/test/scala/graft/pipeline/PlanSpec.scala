@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan quality gates (SURVEY.md §4.2): filters and column pruning
+  * must reach the parquet scan, small joins must broadcast, and the
+  * extraction pipeline must contain exactly the one intended shuffle before
+  * the parse stage. `.explain` output is asserted, not eyeballed.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkEnv.session("local[4]", "graft-plan-test", shufflePartitions = 8)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private lazy val tmp = {
+    val t = Files.createTempDirectory("graft-plan").toString
+    SynthCorpusJob.write(spark, 200, s"$t/pages", partitions = 2)
+    t
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pre-parse filters are pushed down to the parquet scan") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$tmp/pages")
+      .select($"url", $"html")
+      .filter($"html".isNotNull && length($"url") > 0)
+    val plan = planOf(df)
+    assert(plan.contains("IsNotNull(html)") && plan.contains("PushedFilters: ["),
+      s"no pushdown in:\n$plan")
+  }
+
+  test("column pruning: parse-input scan reads only url and html") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$tmp/pages").select($"url", $"html")
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("url") && readSchema.contains("html"))
+    assert(!readSchema.contains("warc_ts") && !readSchema.contains("lang"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("extraction pipeline has exactly one exchange before the parse stage") {
+    import spark.implicits._
+    val bucketed = spark.read.parquet(s"$tmp/pages")
+      .select($"url", $"html")
+      .withColumn("bucket", ExtractPipeline.bucketCol($"url", 16, 8, 0))
+      .repartition(16, $"bucket")
+    val parsed = ExtractPipeline.parseStage(bucketed)(spark)
+    val plan = planOf(parsed.toDF())
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 shuffle, found $exchanges:\n$plan")
+    assert(plan.contains("MapPartitions"), "typed parse stage missing")
+  }
+
+  test("q3 join broadcasts the filtered customer dimension") {
+    val df = graft.SparkEntry.queriesForPlanCheck("q3_top10")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"no broadcast join in q3 plan:\n$plan")
+  }
+
+  test("whole-stage codegen covers the relational queries") {
+    val df = graft.SparkEntry.queriesForPlanCheck("q1_agg")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen spans in:\n$plan")
+  }
+
+  test("dedup exact plan uses partial (map-side) aggregation") {
+    val df = graft.operators.Dedup.exact(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id", "text")
+    val plan = planOf(df)
+    // two HashAggregate nodes around one Exchange = partial + final
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate:\n$plan")
+  }
+}
