@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.pipeline.{SparkEnv, SynthCorpusJob}
+
+/** Streaming face: same results as the batch pipeline, exactly-once across
+  * restarts via the streaming checkpoint. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkEnv.session("local[4]", "graft-stream-test", shufflePartitions = 4)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("streaming extraction matches batch output and is exactly-once on restart") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    SynthCorpusJob.write(spark, 120, s"$tmp/pages", partitions = 2)
+
+    val q = StreamingExtract.run(spark, s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt", buckets = 8)
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 120)
+    // byte-identity vs ground truth, through the streaming path
+    val truth = spark.read.parquet(s"$tmp/pages").select($"url", $"text".as("expected"))
+    val bad = out.join(truth, Seq("url")).filter(!($"text" <=> $"expected")).count()
+    assert(bad == 0)
+
+    // restart with no new data → no duplicates (checkpoint tracks progress)
+    val q2 = StreamingExtract.run(spark, s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt", buckets = 8)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() == 120)
+
+    // new files arrive → only the delta is processed
+    SynthCorpusJob.write(spark, 40, s"$tmp/pages2", partitions = 1)
+    val fs = new java.io.File(s"$tmp/pages2").listFiles().filter(_.getName.endsWith(".parquet"))
+    fs.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$tmp/pages/delta$i.parquet"))
+    }
+    val q3 = StreamingExtract.run(spark, s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt", buckets = 8)
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() == 160)
+  }
+
+  test("watermarked windowed host-rate aggregation") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream2").toString
+    SynthCorpusJob.write(spark, 100, s"$tmp/pages", partitions = 2)
+    val q = StreamingExtract.hostRateOnce(spark, s"$tmp/pages", s"$tmp/ckpt", "host_rate")
+    q.awaitTermination()
+    val res = spark.sql("SELECT sum(pages) FROM host_rate").head().getLong(0)
+    assert(res == 100)
+    val heavy = spark.sql(
+      s"SELECT sum(pages) FROM host_rate WHERE host = '${graft.pipeline.SynthCorpus.heavyHost}'")
+      .head().getLong(0)
+    assert(heavy == 30) // 30% heavy-host skew by construction
+  }
+}
