@@ -128,6 +128,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("byte_len"), col("frames"))
         .orderBy("doc_id")
     }),
+    // ------------------------------------------- scalar function surface
+    "entities_decode" -> ((s, dir) => {
+      // encode letters as char-refs, decode through the native expression,
+      // must round-trip to the original text
+      val encoded = regexp_replace(regexp_replace(col("text"), "e", "&#101;"), "o", "&#x6F;")
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.HtmlFunctions.decode_entities(encoded).as("text"))
+        .orderBy("doc_id")
+    }),
+    "extract_scalar_fn" -> ((s, dir) => {
+      pages(s, dir).select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        graft.functions.HtmlFunctions.extract_main(decode(col("html"), "UTF-8")).as("text"))
+        .orderBy("doc_id")
+    }),
     // ----------------------------------------------------- relational core
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -164,6 +179,12 @@ object SparkEntry {
     queries(name)
 
   def oracleSql: Map[String, String] = Map(
+    "entities_decode" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "extract_scalar_fn" ->
+      """SELECT doc_id,
+        |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "extract_roundtrip" ->
       """SELECT doc_id,
         |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text
