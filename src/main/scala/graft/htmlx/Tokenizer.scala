@@ -12,12 +12,20 @@ final class AttrList {
   def size: Int = ns.length
   def name(i: Int): String = ns(i)
   def value(i: Int): String = vs(i)
-  def contains(n: String): Boolean = ns.contains(n)
+  private def idx(n: String): Int = {
+    // index loop: ArrayBuffer.contains/indexOf allocate a view + iterator
+    // per call, and this runs once per parsed attribute
+    var i = 0
+    val len = ns.length
+    while (i < len) { if (ns(i) == n) return i; i += 1 }
+    -1
+  }
+  def contains(n: String): Boolean = idx(n) >= 0
   /** Add; returns false (dropped) if name already present. */
   def add(n: String, v: String): Boolean =
-    if (ns.contains(n)) false else { ns += n; vs += v; true }
+    if (idx(n) >= 0) false else { ns += n; vs += v; true }
   def get(n: String): Option[String] = {
-    val i = ns.indexOf(n); if (i < 0) None else Some(vs(i))
+    val i = idx(n); if (i < 0) None else Some(vs(i))
   }
   def setValue(i: Int, v: String): Unit = vs(i) = v
   def rename(i: Int, n: String): Unit = ns(i) = n
@@ -265,8 +273,8 @@ final class Tokenizer(handler: TokenHandler) {
 
   /** Consume remaining attribute soup of a tag up to and incl '>'. */
   private def consumeTagRemainder(): Unit = {
-    val a = new AttrList
-    tagAttributes(a)
+    junkAttrs.clear()
+    tagAttributes(junkAttrs)
   }
 
   private def plaintextState(): Unit = {
@@ -304,8 +312,11 @@ final class Tokenizer(handler: TokenHandler) {
     else { err("invalid-first-character-of-tag-name"); bogusComment(p) }
   }
 
+  private val tagNameBuf = new java.lang.StringBuilder(16)
+
   private def readTagName(): String = {
-    val sb = new java.lang.StringBuilder(8)
+    val sb = tagNameBuf
+    sb.setLength(0)
     var done = false
     while (!done && p < n) {
       val c = s.charAt(p)
@@ -317,6 +328,7 @@ final class Tokenizer(handler: TokenHandler) {
   }
 
   private val attrs = new AttrList
+  private val junkAttrs = new AttrList
 
   private def startTagName(): Unit = {
     flushText()
@@ -338,10 +350,10 @@ final class Tokenizer(handler: TokenHandler) {
     flushText()
     val name = readTagName()
     if (p >= n) { err("eof-in-tag"); return }
-    val junk = new AttrList
-    val selfClosing = tagAttributes(junk)
+    junkAttrs.clear()
+    val selfClosing = tagAttributes(junkAttrs)
     if (p > n) { err("eof-in-tag"); return }
-    if (junk.size > 0) err("end-tag-with-attributes")
+    if (junkAttrs.size > 0) err("end-tag-with-attributes")
     if (selfClosing) err("end-tag-with-trailing-solidus")
     handler.endTag(name)
   }
