@@ -64,6 +64,22 @@ object Extractor {
 
   private val headings: Set[String] = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
+  // one hash lookup per element instead of three Set.contains
+  private final val FlagIgnored = 1
+  private final val FlagBlock = 2
+  private final val FlagHeading = 4
+  private val nameFlags: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]
+    (ignored ++ blockLevel ++ headings).foreach { n =>
+      var f = 0
+      if (ignored.contains(n)) f |= FlagIgnored
+      if (blockLevel.contains(n)) f |= FlagBlock
+      if (headings.contains(n)) f |= FlagHeading
+      m.put(n, f)
+    }
+    m
+  }
+
   def extract(doc: HParent): Extraction = {
     val blocks = segment(doc)
     val content = classify(blocks)
@@ -150,11 +166,13 @@ object Extractor {
 
     def walk(e: HElement, elemIdx: Int, path: String, heading: Boolean): Unit = {
       if (!(e.ns eq Ns.html)) () // svg/math subtree: skip text
-      else if (ignored.contains(e.name)) ()
       else {
-        val isBlock = blockLevel.contains(e.name)
+        val fRef = nameFlags.get(e.name)
+        val f = if (fRef == null) 0 else fRef.intValue
+        if ((f & FlagIgnored) != 0) return
+        val isBlock = (f & FlagBlock) != 0
         val childPath = if (isBlock) s"$path/${e.name}[$elemIdx]" else path
-        val childHeading = heading || headings.contains(e.name)
+        val childHeading = heading || (f & FlagHeading) != 0
         if (isBlock) { flush(); curPath = childPath; curHeading = childHeading }
         if (e.name == "a") {
           anchorDepth += 1

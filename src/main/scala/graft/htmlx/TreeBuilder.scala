@@ -140,10 +140,16 @@ final class TreeBuilder extends TokenHandler {
     if (before == null) parent.appendChild(node) else parent.insertBefore(node, before)
   }
 
+  /** Open-elements depth cap (Blink uses 512): beyond it new elements are
+    * inserted but not pushed, flattening pathological nesting instead of
+    * risking unbounded stacks / downstream recursion overflow. */
+  private val maxStackDepth = 512
+
   private def insertElement(name: String, attrs: AttrList, ns: String = Ns.html): HElement = {
     val e = new HElement(name, ns, attrs.clone)
     insertNodeAt(insertionPlace(), e)
-    push(name, ns, e)
+    if (stack.length < maxStackDepth) push(name, ns, e)
+    else err("tree depth limit reached")
     e
   }
 
@@ -318,6 +324,12 @@ final class TreeBuilder extends TokenHandler {
       i -= 1
     }
     if (count >= 3 && candidate >= 0) afe.remove(candidate)
+    // cap the list against pathological streams of distinct formatting
+    // elements (reconstruction is O(|afe|) per text insertion)
+    if (afe.length >= 256) {
+      val drop = afe.indexWhere(_ != null)
+      if (drop >= 0) afe.remove(drop)
+    }
     afe += new AfeEntry(elem, name, attrs.clone)
   }
 
@@ -363,6 +375,7 @@ final class TreeBuilder extends TokenHandler {
 
   private def reconstructAfe(): Unit = {
     if (afe.isEmpty) return
+    if (stack.length >= maxStackDepth) return // depth cap (see insertElement)
     val last = afe(afe.length - 1)
     if (last == null || stackIndexOfElem(last.element) >= 0) return
     var i = afe.length - 1
@@ -818,7 +831,7 @@ final class TreeBuilder extends TokenHandler {
       } else (name, adjustAttrs(attrs, svg = false))
     val e = new HElement(adjName, curNs, a)
     insertNodeAt(insertionPlace(), e)
-    if (!selfClosing) push(adjName, curNs, e)
+    if (!selfClosing && stack.length < maxStackDepth) push(adjName, curNs, e)
   }
 
   private def adjustAttrs(attrs: AttrList, svg: Boolean): AttrList = {

@@ -45,6 +45,24 @@ class RobustnessSpec extends AnyFunSuite {
     }, 300)
   }
 
+  test("pathological inputs parse in bounded time without overflow") {
+    // 50k nested divs: depth-capped, extractor recursion stays bounded
+    val deep = "<div>" * 50000 + ("survive " * 30)
+    val t0 = System.nanoTime()
+    val r = HtmlParser.parseDocument(deep)
+    val ex = Extractor.extract(r.doc)
+    assert(ex.text.contains("survive"))
+    // 20k distinct formatting elements: AFE capped, reconstruction bounded
+    val fmt = (0 until 20000).map(i => s"<b class=c$i>").mkString + "<p>end of the line for formatting chaos"
+    val r2 = HtmlParser.parseDocument(fmt)
+    assert(Extractor.extract(r2.doc).text != null)
+    // 10k unclosed tables
+    val tables = "<table><tr><td>" * 3000 + "x"
+    assert(HtmlParser.parseDocument(tables).doc != null)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, s"pathological parse too slow: $sec s")
+  }
+
   test("fragment parsing never throws on tag soup") {
     runProp(Prop.forAll(soup, Gen.oneOf("div", "td", "table", "title", "script", "select")) {
       (html, ctx) =>
