@@ -95,6 +95,11 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "vec", 10)
         .orderBy("qid", "rank")
     }),
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
+      Similarity.cosineDedup(emb, "vec_id", "vec", 0.4).orderBy("id1", "id2")
+    }),
     // -------------------------------------------------------- text analysis
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -221,6 +226,12 @@ object SparkEntry {
         |           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
         |SELECT qid, rank, nid FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2
+        |FROM e a JOIN e b ON b.vec_id > a.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS chars,

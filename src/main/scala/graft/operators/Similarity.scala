@@ -37,6 +37,20 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id1 < id2) pairs with
+    * cosine ≥ threshold. Brute-force all-pairs — correct baseline for
+    * bounded corpora; at scale, feed [[lshTopK]]-style bucketed candidates
+    * into the same verification instead of the cross join. */
+  def cosineDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id2") > col("id1"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
   /** Deterministic pseudo-random hyperplane: component c of plane p derives
     * from xxhash64(p, c), scaled to [-1, 1). Shared by signature and tests. */
   private def planeComponent(p: Column, cIdx: Column): Column =
