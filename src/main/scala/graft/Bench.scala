@@ -12,13 +12,30 @@ import graft.pipeline.{ExtractPipeline, SparkEnv, SynthCorpus}
   */
 object Bench {
 
+  /** Materialize the deterministic corpus once (outside any timing). */
+  def corpusPath(spark: SparkSession, nDocs: Long): String = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft-bench-corpus")
+    val path = s"$base/pages-$nDocs"
+    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      import spark.implicits._
+      spark.range(0, nDocs, 1, 64)
+        .map(i => SynthCorpus.pageRow(i)).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Timed region = the production job shape: parquet scan (pruned to
+    * url+html) → salted repartition → mapPartitions parse+extract → count.
+    * Corpus generation stays outside the timing. */
   def extractionBench(spark: SparkSession, nDocs: Long): (Double, Long) = {
     import spark.implicits._
-    // Same shape as ExtractPipeline.run: prune to (url, html) BEFORE the
-    // salted repartition so only parse inputs cross the shuffle.
-    val pages = spark.range(0, nDocs, 1, spark.sparkContext.defaultParallelism * 4)
-      .map(i => SynthCorpus.pageRow(i)).toDF()
+    val path = corpusPath(spark, nDocs)
+    val pages = spark.read.parquet(path)
       .select($"url", $"html")
+      .filter($"html".isNotNull)
       .withColumn("bucket", ExtractPipeline.bucketCol($"url", 256, 16, 0))
       .repartition(spark.sparkContext.defaultParallelism * 4, $"bucket")
     val t0 = System.nanoTime()
