@@ -34,13 +34,24 @@ object HtmlParser {
 
   final case class ParseResult(doc: HDocument, errors: Seq[String], detectedCharset: Option[String])
 
-  def parseDocument(html: String): ParseResult = {
-    val tb = new TreeBuilder
-    val tok = new Tokenizer(tb)
+  /** Reusable engine: one tokenizer + tree-builder pair whose scratch
+    * structures persist across parses (the reference's per-task reuse,
+    * SURVEY.md §4.1). One instance per thread/partition; not thread-safe. */
+  final class Engine {
+    private val tb = new TreeBuilder
+    private val tok = new Tokenizer(tb)
     tb.startTokenization(tok)
-    tok.tokenize(normalize(html))
-    ParseResult(tb.doc, tb.errors.toSeq, Option(tb.detectedCharset))
+
+    def parse(html: String): ParseResult = {
+      tb.reset()
+      tok.tokenize(normalize(html))
+      ParseResult(tb.doc, tb.errors.toSeq, Option(tb.detectedCharset))
+    }
+
+    def parseBytes(bytes: Array[Byte]): ParseResult = parse(decodeUtf8(bytes))
   }
+
+  def parseDocument(html: String): ParseResult = new Engine().parse(html)
 
   def parseBytes(bytes: Array[Byte]): ParseResult = parseDocument(decodeUtf8(bytes))
 

@@ -115,6 +115,7 @@ final class Tokenizer(handler: TokenHandler) {
   def tokenize(input: String): Unit = {
     s = input; n = input.length; p = 0
     cmodel = Data; expectedEndTag = null
+    textBuf.setLength(0) // engine reuse: clear scratch from any aborted parse
     while (p < n || pendingEof()) {
       cmodel match {
         case Data      => dataState()

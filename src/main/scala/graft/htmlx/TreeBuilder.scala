@@ -43,7 +43,7 @@ final class TreeBuilder extends TokenHandler {
 
   var tokenizer: Tokenizer = _
 
-  val doc = new HDocument
+  var doc = new HDocument
   private var fragmentRoot: HElement = null
   private var contextName: String = null
   private var contextNs: String = Ns.html
@@ -1723,5 +1723,31 @@ final class TreeBuilder extends TokenHandler {
 
   def startTokenization(t: Tokenizer): Unit = {
     tokenizer = t
+  }
+
+  /** Reset all per-document state so one builder instance can be reused
+    * across the rows of a partition (reference optimization: scratch
+    * structures recycled per parse, Core/Tokenizer.cs:344-364 /
+    * SURVEY.md §4.1). Scratch buffers keep their capacity. */
+  def reset(): Unit = {
+    doc = new HDocument
+    fragmentRoot = null
+    contextName = null
+    contextNs = Ns.html
+    contextEntry = null
+    stack.clear()
+    afe.clear()
+    mode = Initial
+    originalMode = Initial
+    framesetOk = true
+    headElem = null
+    formElem = null
+    needToDropLF = false
+    fosterEnabled = false
+    quirks = false
+    tableTextPending = false
+    tableText.setLength(0)
+    detectedCharset = null
+    errors.clear()
   }
 }

@@ -42,13 +42,15 @@ object ExtractPipeline {
   }
 
   /** Pure per-row parse+extract — the engine the reference implements as its
-    * whole program (reference: SimpleHtmlParser.cs:60-65). */
-  def parseOne(url: String, html: Array[Byte]): ExtractedDoc = {
+    * whole program (reference: SimpleHtmlParser.cs:60-65). `engine` may be
+    * reused across rows (scratch persists; state reset per parse). */
+  def parseOne(url: String, html: Array[Byte],
+               engine: HtmlParser.Engine = new HtmlParser.Engine): ExtractedDoc = {
     try {
       if (html == null) return ExtractedDoc(url, "", Nil, 0, 0, null, Seq("null html"), ok = false)
       if (html.length > maxHtmlBytes)
         return ExtractedDoc(url, "", Nil, 0, 0, null, Seq(s"oversized html: ${html.length}"), ok = false)
-      val parsed = HtmlParser.parseBytes(html)
+      val parsed = engine.parseBytes(html)
       val ex = Extractor.extract(parsed.doc)
       ExtractedDoc(url, ex.text,
         ex.spans.map(s => SpanRow(s.start, s.end, s.path)).toSeq,
@@ -62,12 +64,16 @@ object ExtractPipeline {
     }
   }
 
-  /** Typed parse stage over pre-bucketed pages. */
+  /** Typed parse stage over pre-bucketed pages; one reused engine per
+    * partition (the reference's biggest throughput lever, SURVEY.md §4.1). */
   def parseStage(pages: DataFrame)(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
     pages.select($"url", $"html")
       .as[(String, Array[Byte])]
-      .mapPartitions { rows => rows.map { case (url, html) => parseOne(url, html) } }
+      .mapPartitions { rows =>
+        val engine = new HtmlParser.Engine
+        rows.map { case (url, html) => parseOne(url, html, engine) }
+      }
   }
 
   final case class RunResult(pendingBuckets: Int, rowsProcessed: Long)

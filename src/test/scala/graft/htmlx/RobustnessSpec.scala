@@ -63,6 +63,16 @@ class RobustnessSpec extends AnyFunSuite {
     assert(sec < 30.0, s"pathological parse too slow: $sec s")
   }
 
+  test("engine reuse never leaks state between documents") {
+    val engine = new HtmlParser.Engine
+    runProp(Prop.forAll(soup, soup) { (a, b) =>
+      engine.parse(a) // pollute with arbitrary soup
+      val reused = Serializer.html5libFormat(engine.parse(b).doc)
+      val fresh = Serializer.html5libFormat(HtmlParser.parseDocument(b).doc)
+      reused == fresh
+    }, 200)
+  }
+
   test("fragment parsing never throws on tag soup") {
     runProp(Prop.forAll(soup, Gen.oneOf("div", "td", "table", "title", "script", "select")) {
       (html, ctx) =>
