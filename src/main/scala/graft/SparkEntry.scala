@@ -52,6 +52,14 @@ object SparkEntry {
           size(col("spans")).as("span_count"), col("ok"))
         .orderBy("doc_id")
     }),
+    "extract_spans" -> ((s, dir) => {
+      extracted(s, dir)
+        .select(col("doc_id"), posexplode(col("spans")))
+        .select(col("doc_id"), col("pos").as("span_idx"),
+          col("col.start").as("start"), col("col.end").as("end"),
+          col("col.path").as("path"))
+        .orderBy("doc_id", "span_idx")
+    }),
     "host_stats" -> ((s, dir) => {
       pages(s, dir)
         .select(ExtractPipeline.hostCol(col("url")).as("host"))
@@ -168,6 +176,15 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    "events_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("event_id"))
+        .orderBy("event_type", "rnk")
+    }),
     "events_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy("event_type")
@@ -199,6 +216,28 @@ object SparkEntry {
         |  length('Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS char_count,
         |  2 AS span_count, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "extract_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) AS title,
+        |    text,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'body/main[2]/article[0]' ELSE 'body/main[1]/article[0]' END AS art
+        |  FROM documents)
+        |SELECT doc_id, 0 AS span_idx, 0 AS "start", length(title) AS "end", art || '/h1[0]' AS path FROM base
+        |UNION ALL
+        |SELECT doc_id, 1, length(title) + 1, length(title) + 1 + length(text), art || '/p[1]' FROM base
+        |ORDER BY doc_id, span_idx""".stripMargin,
+    "extract_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) AS title,
+        |    text,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'body/main[2]/article[0]' ELSE 'body/main[1]/article[0]' END AS art
+        |  FROM documents)
+        |SELECT doc_id, 0 AS span_idx, 0 AS "start", length(title) AS "end", art || '/h1[0]' AS path FROM base
+        |UNION ALL
+        |SELECT doc_id, 1, length(title) + 1, length(title) + 1 + length(text), art || '/p[1]' FROM base
+        |ORDER BY doc_id, span_idx""".stripMargin,
     "host_stats" ->
       """SELECT CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
         |            ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END AS host,
@@ -272,6 +311,18 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "events_topk" ->
+      """SELECT event_type, rnk, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+    "events_topk" ->
+      """SELECT event_type, rnk, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
     "events_agg" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS users,
