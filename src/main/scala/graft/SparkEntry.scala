@@ -97,6 +97,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "vec", 10)
         .orderBy("qid", "rank")
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "vec", 10)
+        .orderBy("qid", "rank")
+    }),
     "ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))

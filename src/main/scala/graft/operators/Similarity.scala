@@ -51,6 +51,66 @@ object Similarity {
       .select(col("id1"), col("id2"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nCentroids` cells; each query probes its `nProbe` nearest
+    * cells and scores only those rows exactly. The scale path for corpora
+    * where even LSH buckets stay too big: the candidate join is an
+    * equi-join on cell id (shuffle-partitionable), and cells can be
+    * physically bucketed at write time.
+    *
+    * Lloyd iterations run as DataFrame jobs (min_by assignment, elementwise
+    * centroid means via posexplode); centroid init is deterministic
+    * (lowest xxhash64(id) seeds). Centroid means sum floats in partition
+    * order, so cell boundaries can differ at the margin between runs —
+    * recall is asserted against brute force in tests, not exact equality.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    // deterministic seeds
+    var centroids = c.withColumn("h", xxhash64(col("nid")))
+      .orderBy("h").limit(nCentroids)
+      .select(monotonically_increasing_id().as("cid"), col("nvec").as("cvec"))
+    var it = 0
+    while (it < iters) {
+      val assigned = c.crossJoin(broadcast(centroids))
+        .withColumn("d", dot(col("nvec"), col("cvec")) /
+          (norm(col("nvec")) * norm(col("cvec"))))
+        .groupBy(col("nid"), col("nvec"))
+        .agg(max_by(col("cid"), col("d")).as("cid"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("nvec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("cvec"))
+      it += 1
+    }
+    val cells = c.crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("nvec"), col("cvec")) /
+        (norm(col("nvec")) * norm(col("cvec"))))
+      .groupBy(col("nid"), col("nvec"))
+      .agg(max_by(col("cid"), col("d")).as("cid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("qvec"), col("cvec")) /
+        (norm(col("qvec")) * norm(col("cvec"))))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val scored = cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
   /** Deterministic pseudo-random hyperplane: component c of plane p derives
     * from xxhash64(p, c), scaled to [-1, 1). Shared by signature and tests. */
   private def planeComponent(p: Column, cIdx: Column): Column =

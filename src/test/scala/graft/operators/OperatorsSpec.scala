@@ -94,6 +94,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN achieves reasonable recall vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 400L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "vec")
+    val queries = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "vec", 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "vec", 5,
+        nCentroids = 8, nProbe = 3, iters = 2)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("language ID picks the right language on real sentences") {
     import spark.implicits._
     val samples = Seq(
