@@ -113,7 +113,6 @@ object Extractor {
   def segment(root: HParent): Vector[TextBlock] = {
     val out = new ArrayBuffer[TextBlock](32)
     val cur = new java.lang.StringBuilder
-    var curWords = 0
     var curLinked = 0
     var curPath = "body"
     var curHeading = false
@@ -139,7 +138,6 @@ object Extractor {
       if (sb.length > 0) {
         out += TextBlock(sb.toString, words, math.min(curLinked, words), curPath, curHeading)
       }
-      curWords = 0
       curLinked = 0
       curHeading = false
     }

@@ -112,6 +112,17 @@ class TokenizerSpec extends AnyFunSuite {
     assert(tok("x<div foo") == Seq("chars:x", "eof"))
   }
 
+  test("attribute edge cases") {
+    assert(tok("<div a = b>") == Seq("start:div[a=b]", "eof"))
+    assert(tok("<div /foo>") == Seq("start:div[foo=]", "eof"))
+    assert(tok("<div a/b>") == Seq("start:div[a=,b=]", "eof"))
+    assert(tok("<div a='1' b=\"2\" c=3>") == Seq("start:div[a=1,b=2,c=3]", "eof"))
+    assert(tok("<div =oops>") == Seq("start:div[=oops=]", "eof"))
+    assert(tok("<div a&b=c>") == Seq("start:div[a&b=c]", "eof"))
+    // spec: '/' inside an unquoted value is part of the value (no self-closing)
+    assert(tok("<div a=b/>") == Seq("start:div[a=b/]", "eof"))
+  }
+
   test("entity longest match") {
     val (len, v, semi) = Entities.longestMatch("notin;x", 0)
     assert(len == 6 && v == "∉" && semi)
