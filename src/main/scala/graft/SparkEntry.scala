@@ -110,7 +110,9 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
     "dedup_embedding" -> ((s, dir) => {
+      // bounded window: all-pairs work must stay constant across SFs
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 2000)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
       Similarity.cosineDedup(emb, "vec_id", "vec", 0.4).orderBy("id1", "id2")
     }),
@@ -263,7 +265,7 @@ object SparkEntry {
         |      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1)
         |SELECT doc_id, inter, uni FROM p ORDER BY doc_id""".stripMargin,
     "ann_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.qid, e.vec_id AS nid,
@@ -272,7 +274,7 @@ object SparkEntry {
         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
         |SELECT qid, rank, nid FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000)
         |SELECT a.vec_id AS id1, b.vec_id AS id2
         |FROM e a JOIN e b ON b.vec_id > a.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4

@@ -9,27 +9,37 @@ import org.apache.spark.sql.expressions.Window
   * Scale notes: brute force scores |Q|×|C| pairs — correct baseline, used
   * with a small broadcast query set. The scale path is [[lshTopK]]: random
   * hyperplane signatures bucket the corpus (narrow pass), only same-bucket
-  * pairs are scored. Dot products use codegen'd `zip_with`/`aggregate`
-  * builtins — no UDF, stays inside whole-stage codegen.
+  * pairs are scored. Dot products use a native codegen'd Catalyst
+  * expression (functions.VectorFunctions) — Spark's higher-order builtins
+  * interpret their lambdas per element and are ~100× slower in all-pairs
+  * joins.
   */
 object Similarity {
 
-  /** dot(a, b) via built-ins (both arrays of float/double). */
+  /** dot(a, b): native codegen'd expression over array<double> columns
+    * (the higher-order `aggregate`/`zip_with` builtins interpret their
+    * lambda per element — ~100× slower; see functions.VectorFunctions). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors of each query vector (brute force).
-    * `queries` is expected small → broadcast; ties broken by neighbor id. */
+    * `queries` is expected small → broadcast; ties broken by neighbor id.
+    * Norms are precomputed per row (a narrow pass) — the higher-order
+    * aggregate lambdas are interpreted, so recomputing both norms per PAIR
+    * triples the dominant cost. Same summation order ⇒ bit-identical
+    * cosines. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm(col(vecCol)).as("nnorm"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("cos", dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
@@ -43,10 +53,12 @@ object Similarity {
     * into the same verification instead of the cross join. */
   def cosineDedup(corpus: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("n1"))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("n2"))
     a.join(b, col("id2") > col("id1"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"))
   }
