@@ -1,0 +1,266 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-sketch kernels for the dedup / fingerprint operators.
+  *
+  * Round-1 used Spark's higher-order builtins (`transform`/`aggregate`/
+  * `slice`) for shingling and sketching; their lambdas are interpreted per
+  * element, costing ~0.7 ms/document just to shingle — the dedup_minhash
+  * BENCH outlier. These expressions compute the whole sketch per row in one
+  * tight loop (sketching is embarrassingly per-row: no explode, no 64-wide
+  * aggregate, no shuffle at all until the LSH band join).
+  *
+  * Hash dialect: shingle/word hashes are two Karp–Rabin polynomial hashes
+  * mod the Mersenne prime 2^31−1 (bases 31 and 37) packed into 62 bits —
+  * every intermediate stays < 2^36, so the identical value is computable in
+  * plain 64-bit SQL arithmetic (the DuckDB oracles recompute it with
+  * `list_reduce`). MinHash permutations stay Spark-side (XXH64.hashLong) —
+  * the oracle verifies emitted pairs by exact Jaccard, not by signature.
+  * Char values are Java UTF-16 code units; oracle parity assumes ASCII text
+  * (asserted for the test corpus; real crawls would hash UTF-8 bytes on
+  * both sides).
+  */
+object Sketch {
+
+  val Mersenne31 = 2147483647L // 2^31 - 1
+
+  /** Literal single-space split keeping empties — same list as Java
+    * `split(" ", -1)` and DuckDB `string_split(s, ' ')`. */
+  def splitSpace(s: String): Array[String] = {
+    var count = 1
+    var i = 0
+    val n = s.length
+    while (i < n) { if (s.charAt(i) == ' ') count += 1; i += 1 }
+    val out = new Array[String](count)
+    var start = 0
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') { out(w) = s.substring(start, i); w += 1; start = i + 1 }
+      i += 1
+    }
+    out(w) = s.substring(start, n)
+    out
+  }
+
+  /** 62-bit polynomial hash of the concatenation of words[from, from+k):
+    * (poly37 << 31) | poly31, each mod 2^31−1, char-streamed (no garbage). */
+  private def shingleHash(words: Array[String], from: Int, k: Int): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var wi = from
+    val end = from + k
+    while (wi < end) {
+      val w = words(wi)
+      var ci = 0
+      val wn = w.length
+      while (ci < wn) {
+        val c = w.charAt(ci).toLong
+        h1 = (h1 * 31 + c) % Mersenne31
+        h2 = (h2 * 37 + c) % Mersenne31
+        ci += 1
+      }
+      wi += 1
+    }
+    (h2 << 31) | h1
+  }
+
+  /** Distinct k-word shingle hashes in first-occurrence order (matches
+    * `array_distinct(transform(...))` from the column formulation and the
+    * oracle's list_position-based first-occurrence filter). */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val words = splitSpace(text.toString)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n - k + 1)
+    var m = 0
+    var i = 0
+    while (i <= n - k) {
+      val h = shingleHash(words, i, k)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** MinHash signature: sig[j] = min over shingles of XXH64.hashLong(h, j)
+    * (seed-j xxhash as the j-th permutation). Null when the doc has no
+    * shingles (absent from the signature table, like the explode+agg
+    * formulation). Duplicates need no dedup — min is idempotent. */
+  def minhashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val words = splitSpace(text.toString)
+    val n = words.length
+    if (n < k) return null
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i <= n - k) {
+      val h = shingleHash(words, i, k)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashLong(h, j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 62-bit SimHash over distinct words: bit j of the result is set iff
+    * Σ_words (bit_j(hash62(w)) ? +1 : −1) > 0. Portable hash dialect — the
+    * DuckDB oracle recomputes it exactly. */
+  def simhash62(text: UTF8String): Long = {
+    val words = splitSpace(text.toString)
+    val seen = new java.util.HashSet[String](words.length * 2)
+    val counts = new Array[Int](62)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (seen.add(w)) {
+        var h1 = 0L
+        var h2 = 0L
+        var ci = 0
+        while (ci < w.length) {
+          val c = w.charAt(ci).toLong
+          h1 = (h1 * 31 + c) % Mersenne31
+          h2 = (h2 * 37 + c) % Mersenne31
+          ci += 1
+        }
+        val h = (h2 << 31) | h1
+        var j = 0
+        while (j < 62) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 62) {
+      if (counts(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  /** Karp–Rabin fingerprint of the whole text: fold (acc·31 + char) mod
+    * 2^31−1, init 0 — dialect-exact (cf. TextAnalysis round-1 column
+    * formulation, now a single codegen'd loop). */
+  def polyFingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 31 + s.charAt(i)) % Mersenne31
+      i += 1
+    }
+    h
+  }
+
+  /** Sign-of-projection LSH signature, bit-identical to the round-1
+    * zip_with/aggregate formulation: component i of plane p is
+    * XXH64.hashInt(i, XXH64.hashInt(p, 42)) scaled to [−1, 1); projection
+    * accumulates left-to-right in double. */
+  def lshSig(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val seed = XXH64.hashInt(p, 42L)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        proj += vec.getDouble(i) *
+          (XXH64.hashInt(i, seed).toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** Column-API wrappers: thin codegen'd Catalyst expressions that call the
+  * [[Sketch]] kernels (one static call per row keeps the generated code tiny
+  * and inside whole-stage codegen; the loops JIT as ordinary JVM code). */
+object SketchFunctions {
+
+  abstract class SketchUnary extends UnaryExpression {
+    protected def callExpr(childVar: String): String
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${callExpr(c)};")
+    override protected def withNewChildInternal(c: Expression): Expression
+  }
+
+  case class WordShingles(child: Expression, k: Int) extends SketchUnary {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+    override def nullSafeEval(t: Any): Any =
+      Sketch.wordShingles(t.asInstanceOf[UTF8String], k)
+    override protected def callExpr(c: String): String =
+      s"graft.functions.Sketch.wordShingles($c, $k)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_sig"
+    override def nullSafeEval(t: Any): Any =
+      Sketch.minhashSig(t.asInstanceOf[UTF8String], k, numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = graft.functions.Sketch.minhashSig($c, $k, $numHashes);
+        |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class SimHash62(child: Expression) extends SketchUnary {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash62"
+    override def nullSafeEval(t: Any): Any =
+      Sketch.simhash62(t.asInstanceOf[UTF8String])
+    override protected def callExpr(c: String): String =
+      s"graft.functions.Sketch.simhash62($c)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class PolyFingerprint(child: Expression) extends SketchUnary {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "poly_fingerprint"
+    override def nullSafeEval(t: Any): Any =
+      Sketch.polyFingerprint(t.asInstanceOf[UTF8String])
+    override protected def callExpr(c: String): String =
+      s"graft.functions.Sketch.polyFingerprint($c)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class LshSig(child: Expression, planes: Int) extends SketchUnary {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_lsh_sig"
+    override def nullSafeEval(t: Any): Any =
+      Sketch.lshSig(t.asInstanceOf[ArrayData], planes)
+    override protected def callExpr(c: String): String =
+      s"graft.functions.Sketch.lshSig($c, $planes)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def word_shingles(text: Column, k: Int): Column = toCol(WordShingles(toExpr(text), k))
+  def minhash_sig(text: Column, k: Int, numHashes: Int): Column =
+    toCol(MinHashSig(toExpr(text), k, numHashes))
+  def simhash62(text: Column): Column = toCol(SimHash62(toExpr(text)))
+  def poly_fingerprint(text: Column): Column = toCol(PolyFingerprint(toExpr(text)))
+  def vec_lsh_sig(vec: Column, planes: Int): Column = toCol(LshSig(toExpr(vec), planes))
+}

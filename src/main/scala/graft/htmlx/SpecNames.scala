@@ -84,13 +84,6 @@ object SpecNames {
     "targetY", "textLength", "viewBox", "viewTarget", "xChannelSelector",
     "yChannelSelector", "zoomAndPan").map(n => n.toLowerCase -> n).toMap
 
-  /** Foreign attribute namespace-ish fixups; we keep the spec's adjusted
-    * qualified names as plain attribute names ("xlink:href" etc). */
-  val foreignAttrFix: Set[String] = Set(
-    "xlink:actuate", "xlink:arcrole", "xlink:href", "xlink:role",
-    "xlink:show", "xlink:title", "xlink:type", "xml:base", "xml:lang",
-    "xml:space", "xmlns", "xmlns:xlink")
-
   /** MathML text integration points. */
   def isMathmlTextIP(name: String, ns: String): Boolean =
     (ns eq Ns.mathml) && (name == "mi" || name == "mo" || name == "mn" ||

@@ -269,7 +269,11 @@ final class Tokenizer(handler: TokenHandler) {
         done = true
       }
     }
-    handler.endTag(savedName)
+    // EOF before '>' (sentinel p = n + 1 from tagAttributes, or the loop ran
+    // dry): spec eof-in-tag — the end tag token is dropped, the element stays
+    // open, and the consumed "</name ..." chars are not re-emitted as text.
+    if (done && p <= n) handler.endTag(savedName)
+    else err("eof-in-tag")
   }
 
   /** Consume remaining attribute soup of a tag up to and incl '>'. */

@@ -834,6 +834,12 @@ final class TreeBuilder extends TokenHandler {
     if (!selfClosing && stack.length < maxStackDepth) push(adjName, curNs, e)
   }
 
+  /** Spec "adjust SVG/MathML attributes" (casing, definitionURL). The
+    * "adjust foreign attributes" step is an identity here by policy: the
+    * spec only adds namespace qualification to xlink:*&#47;xml:*&#47;xmlns*
+    * names, and this DOM keeps the qualified name verbatim as the plain
+    * attribute name (tokenizer already lowercased it; the spec's adjusted
+    * local names are all lowercase), so there is nothing to rewrite. */
   private def adjustAttrs(attrs: AttrList, svg: Boolean): AttrList = {
     val out = new AttrList
     var i = 0

@@ -2,49 +2,50 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SketchFunctions
 
 /** Deduplication operators for web-scale corpora.
   *
-  * Scale notes (100 TB design): exact dedup is one hash-shuffle on a 64-bit
-  * digest (never on the full text); MinHash signatures are computed in a
-  * single narrow pass, candidates come from LSH band buckets so the shuffle
-  * is O(docs × bands) rows of (bucketKey, id), and only same-bucket pairs are
-  * verified. Oversized buckets are capped to bound worst-case pair blowup
-  * (a degenerate bucket of n docs would otherwise create n² pairs).
+  * Scale notes (100 TB design): exact dedup shuffles only (digest, length,
+  * id) — never the text; MinHash/SimHash sketches are computed per row by
+  * native codegen'd kernels ([[graft.functions.Sketch]]) in a narrow pass
+  * (sketching is embarrassingly parallel — round 1's explode + 64-wide
+  * aggregate paid a full shuffle of (id, shingle) pairs for nothing),
+  * candidates come from LSH band buckets so the join is an equi-join on
+  * bucket keys, and oversized buckets are capped to bound worst-case pair
+  * blowup (a degenerate bucket of n docs would otherwise create n² pairs).
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest id per identical text. One shuffle on the
-    * 64-bit text hash + text (hash first keeps comparisons cheap). */
+  /** Exact dedup: keep the lowest id per identical text. Groups by two
+    * independent 64-bit digests + length — 24 bytes of shuffle per row
+    * instead of the document text (at 100 TB that is the difference between
+    * shuffling ~40 GB and shuffling the corpus). Collision math: a wrong
+    * merge needs two different texts agreeing on both digests AND length;
+    * for 10^12 docs the expected number of colliding pairs is
+    * ~10^24 / 2^128 ≈ 3·10^-15 — strictly better than the durability of the
+    * storage under it. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(xxhash64(col(textCol)).as("text_hash"), col(textCol))
+    docs.groupBy(
+        xxhash64(col(textCol)).as("h1"),
+        xxhash64(col(textCol), lit(1)).as("h2"),
+        length(col(textCol)).as("len"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
-      .select(col(idCol), col(textCol), col("copies"))
+      .select(col(idCol), col("copies"))
 
-  /** Word shingles of size k as 64-bit hashes (distinct). */
-  def shingles(textCol: Column, k: Int): Column = {
-    val words = split(textCol, " ")
-    // transform over sliding windows: index i -> hash(words[i..i+k))
-    val n = size(words)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(n - k, lit(0))), i =>
-          when(i + k <= n, xxhash64(concat_ws("", slice(words, i + lit(1), lit(k)))))),
-        c => c.isNotNull))
-  }
+  /** Distinct k-word shingles as 62-bit portable hashes, first-occurrence
+    * order (native kernel; dialect-exact, DuckDB oracles recompute it). */
+  def shingles(textCol: Column, k: Int): Column =
+    SketchFunctions.word_shingles(textCol, k)
 
-  /** MinHash signatures, computed by exploding the shingle set once and
-    * taking `numHashes` min-aggregates in a single hash-aggregation pass
-    * (map-side combine; one shuffle of (id, 64 longs)). A nested
-    * `transform(transform(...))` column expression would re-inline the
-    * shingle computation per hash function — 64× the work. */
+  /** MinHash signatures in a single narrow per-row pass (no explode, no
+    * shuffle): sig[j] = min over shingles of XXH64.hashLong(shingle, j).
+    * Docs with no shingles (< k words) are absent. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleSize: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleSize)).as("sh"))
-    exploded.groupBy(col("id"))
-      .agg(array((0 until numHashes).map(j => min(xxhash64(col("sh"), lit(j)))): _*).as("sig"))
-  }
+                        numHashes: Int, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        SketchFunctions.minhash_sig(col(textCol), shingleSize, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH candidate pairs: docs sharing any band bucket. Bucket sizes capped
     * at `maxBucket` to bound the per-bucket pair join. Returns (id1, id2)
@@ -96,37 +97,17 @@ object Dedup {
       minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize),
       idCol, textCol, shingleSize, threshold)
 
-  /** 64-bit SimHash over word features: for each bit j, the sign of
-    * Σ_words (bit_j(hash(w)) ? +1 : -1). Single-column expression retained
-    * for per-row use (tests, single docs). */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(array_distinct(split(textCol, " ")), w => xxhash64(w))
-    val bits = transform(sequence(lit(0), lit(63)), j =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0, 1L)
-        .otherwise(0L))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, j) => acc.bitwiseOR(call_function("shiftleft", element_at(bits, j + lit(1)), j)))
-  }
+  /** 62-bit portable SimHash over distinct words (native kernel): bit j =
+    * sign of Σ_words (bit_j(hash62(w)) ? +1 : −1). The polynomial hash
+    * dialect is recomputable in plain SQL — the dedup_simhash oracle
+    * rebuilds the identical signature in DuckDB. */
+  def simhash(textCol: Column): Column = SketchFunctions.simhash62(textCol)
 
-  /** SimHash for a whole corpus: explode distinct words once, 64 signed-sum
-    * aggregates in one hash-agg pass, assemble the bits — the scalable
-    * formulation of [[simhash]] (identical output, verified in tests). */
-  def simhashAll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val aggs = (0 until 64).map(j =>
-      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b$j"))
-    val sums = words.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val simExpr = (0 until 64).map(j =>
-      call_function("shiftleft", when(col(s"b$j") > 0, 1L).otherwise(0L), lit(j)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("id"), simExpr.as("sim"))
-  }
+  /** SimHash for a whole corpus — one narrow codegen'd pass. */
+  def simhashAll(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
 
-  /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit keys;
+  /** SimHash near-dup candidates: split the 62-bit hash into 4 16-bit keys;
     * docs sharing any key are candidates (guarantees recall for hamming
     * distance ≤ 3 by pigeonhole); verify with exact hamming distance.
     * Oversized key buckets are capped like the MinHash path. */

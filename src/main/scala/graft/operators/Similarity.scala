@@ -128,8 +128,16 @@ object Similarity {
   private def planeComponent(p: Column, cIdx: Column): Column =
     (xxhash64(p, cIdx).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign-of-projection LSH signature: bit p = sign(dot(vec, plane_p)). */
+  /** Sign-of-projection LSH signature: bit p = sign(dot(vec, plane_p)).
+    * Native codegen'd kernel (functions.Sketch.lshSig) — bit-identical to
+    * the round-1 zip_with/aggregate formulation (parity-tested), minus the
+    * interpreted-lambda cost per element. */
   def lshSignature(vecCol: Column, planes: Int): Column =
+    graft.functions.SketchFunctions.vec_lsh_sig(vecCol, planes)
+
+  /** Round-1 higher-order-function formulation, kept as the parity oracle
+    * for [[lshSignature]] in tests (interpreted lambdas — not a hot path). */
+  private[graft] def lshSignatureHof(vecCol: Column, planes: Int): Column =
     aggregate(
       sequence(lit(0), lit(planes - 1)),
       lit(0L),

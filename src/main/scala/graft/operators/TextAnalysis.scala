@@ -79,12 +79,11 @@ object TextAnalysis {
   /** Karp–Rabin rolling fingerprint of the whole text:
     * fp = Σ c_i · B^(n-1-i) mod (2^31 − 1), B = 31. The Mersenne-prime
     * modulus keeps every intermediate < 2^36, so the arithmetic is exact
-    * under ANSI mode and reproducible in any SQL dialect. */
+    * and reproducible in any SQL dialect (the DuckDB oracle recomputes it
+    * with list_reduce). Native codegen'd kernel — the round-1 higher-order
+    * aggregate interpreted its lambda per character. */
   def fingerprint(textCol: Column): Column =
-    aggregate(
-      transform(split(textCol, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, c) => pmod(acc * 31L + c, lit(2147483647L)))
+    graft.functions.SketchFunctions.poly_fingerprint(textCol)
 
   /** Winnowing-style robust fingerprints: the set of distinct minima of
     * xxhash64 over each sliding window of `w` word-shingles — the classic

@@ -160,4 +160,35 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Multimodal.features(media, "id", "media", "image").collect()
     assert(rows.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
+
+  test("native LSH signature is bit-identical to the higher-order formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
+      .limit(200)
+    val both = emb.select(
+        Similarity.lshSignature(col("vec"), 12).as("native"),
+        Similarity.lshSignatureHof(col("vec"), 12).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+  }
+
+  test("minhash LSH output equals the exact-Jaccard pair set (100% recall)") {
+    // the correctness contract behind the dedup_minhash oracle: on corpora
+    // whose passing pairs have a healthy margin above the threshold, banded
+    // LSH misses nothing, so candidates→verify equals exact all-pairs
+    implicit val s: SparkSession = spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val exact = sh.as("a").join(sh.as("b"), col("b.doc_id") > col("a.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("uni", size(col("a.sh")) + size(col("b.sh")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
 }

@@ -82,4 +82,40 @@ class PlanSpec extends AnyFunSuite {
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"expected partial+final aggregate:\n$plan")
   }
+
+  /** Total shuffle-write bytes of `job`, observed via a task-metrics
+    * listener (polled until the listener bus drains). */
+  private def shuffleWriteBytes(job: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      job
+      // listener events are async: poll until the count stabilizes
+      var prev = -1L
+      var spins = 0
+      while (bytes.get() != prev && spins < 50) {
+        prev = bytes.get(); Thread.sleep(100); spins += 1
+      }
+      bytes.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("exact dedup shuffles digests, not document text (VERDICT r01 #6)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // round-1 formulation: the text column rides along as a group key
+    val textCarrying = docs.groupBy(xxhash64(col("text")).as("h"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+    val oldBytes = shuffleWriteBytes(textCarrying.count())
+    val newBytes = shuffleWriteBytes(
+      graft.operators.Dedup.exact(docs, "doc_id", "text").count())
+    assert(newBytes > 0, "expected at least one shuffle in exact dedup")
+    assert(newBytes * 4 < oldBytes,
+      s"digest-only grouping should shuffle <1/4 of the text-carrying bytes " +
+        s"(old=$oldBytes new=$newBytes)")
+  }
 }
