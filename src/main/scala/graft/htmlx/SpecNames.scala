@@ -38,7 +38,8 @@ object SpecNames {
 
   val headings: Set[String] = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
-  val impliedEnd: Set[String] = Set("dd", "dt", "li", "option", "optgroup", "p", "rp", "rt")
+  val impliedEnd: Set[String] = Set("dd", "dt", "li", "option", "optgroup", "p",
+    "rb", "rp", "rt", "rtc")
 
   /** Default scope barrier (plus foreign integration points). */
   val defaultScope: Set[String] = Set(

@@ -91,6 +91,16 @@ final class Tokenizer(handler: TokenHandler) {
     expectedEndTag = endTag
   }
 
+  private var seededModel = false
+
+  /** Pre-seed the content model BEFORE tokenize() — fragment parsing with a
+    * rawtext/RCDATA/script context element starts mid-state (spec 13.4 step
+    * 2). Survives exactly one tokenize() call's reset. */
+  def seedContentModel(model: Int, endTag: String): Unit = {
+    setContentModel(model, endTag)
+    seededModel = true
+  }
+
   private val textBuf = new java.lang.StringBuilder(256)
 
   private def err(m: String): Unit = handler.parseError(m)
@@ -114,7 +124,8 @@ final class Tokenizer(handler: TokenHandler) {
   /** Tokenize the whole input. Input must already be CR/BOM normalized. */
   def tokenize(input: String): Unit = {
     s = input; n = input.length; p = 0
-    cmodel = Data; expectedEndTag = null
+    if (!seededModel) { cmodel = Data; expectedEndTag = null }
+    seededModel = false
     textBuf.setLength(0) // engine reuse: clear scratch from any aborted parse
     while (p < n || pendingEof()) {
       cmodel match {

@@ -94,11 +94,11 @@ final class TreeBuilder extends TokenHandler {
     contextEntry = new StackEntry(name, ns, new HElement(name, ns, new AttrList))
     resetInsertionMode()
     if (ns eq Ns.html) name match {
-      case "title" | "textarea" => tokenizer.setContentModel(ContentModel.Rcdata, name)
+      case "title" | "textarea" => tokenizer.seedContentModel(ContentModel.Rcdata, name)
       case "style" | "xmp" | "iframe" | "noembed" | "noframes" =>
-        tokenizer.setContentModel(ContentModel.Rawtext, name)
-      case "script" => tokenizer.setContentModel(ContentModel.Script, name)
-      case "plaintext" => tokenizer.setContentModel(ContentModel.Plaintext, null)
+        tokenizer.seedContentModel(ContentModel.Rawtext, name)
+      case "script" => tokenizer.seedContentModel(ContentModel.Script, name)
+      case "plaintext" => tokenizer.seedContentModel(ContentModel.Plaintext, null)
       case _ => ()
     }
   }
@@ -820,7 +820,14 @@ final class TreeBuilder extends TokenHandler {
         if ((c.ns eq Ns.html) || SpecNames.isMathmlTextIP(c.name, c.ns) || SpecNames.isHtmlIP(c.node)) done = true
         else pop()
       }
-      startTag(name, attrs, selfClosing)
+      // spec: reprocess "according to the rules given in the section
+      // corresponding to the current insertion mode in HTML content" — i.e.
+      // WITHOUT redispatching through the foreign-content check. Going back
+      // through startTag() instead loops forever in the fragment case (the
+      // adjusted current node stays the foreign context element while the
+      // stack never shrinks past the root).
+      flushTableText()
+      startTagMode(mode, name, attrs, selfClosing)
       return
     }
     val curNs = adjustedCurrent.ns
@@ -1323,10 +1330,19 @@ final class TreeBuilder extends TokenHandler {
       if ((current.ns eq Ns.html) && current.name == "option") pop()
       reconstructAfe()
       insertElement(name, attrs)
-    case "rp" | "rt" =>
+    case "rb" | "rtc" =>
+      // spec: implied end tags close any open rb/rt/rp/rtc back to the ruby
       if (hasInScope("ruby")) {
         generateImpliedEndTags()
         if (!((current.ns eq Ns.html) && current.name == "ruby")) err("unclosed ruby content")
+      }
+      insertElement(name, attrs)
+    case "rp" | "rt" =>
+      // spec: like rb/rtc but an open rtc stays (rt/rp nest inside rtc)
+      if (hasInScope("ruby")) {
+        generateImpliedEndTags(except = "rtc")
+        if (!((current.ns eq Ns.html) &&
+            (current.name == "ruby" || current.name == "rtc"))) err("unclosed ruby content")
       }
       insertElement(name, attrs)
     case "math" =>
