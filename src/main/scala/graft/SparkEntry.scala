@@ -104,7 +104,11 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "vec", 10)
+      // iters=0: the deterministic quantizer configuration (lowest-id seeds,
+      // no float-order-sensitive Lloyd means) — fully recomputable by the
+      // DuckDB oracle; Lloyd quality is covered by recall unit tests
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "vec", 10,
+          iters = 0)
         .orderBy("qid", "rank")
     }),
     "ann_lsh" -> ((s, dir) => {
@@ -372,6 +376,52 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q.qid
         |           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
+        |SELECT qid, rank, nid FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // Hyperplane LSH ANN: plane components are two LCG rounds mod 2^31 over
+    // 131p + 7919i + 12345 scaled by a power of two — integer-exact in both
+    // engines, so the oracle rebuilds identical signatures, probes the same
+    // hamming-1 buckets, and must reproduce the full top-k output.
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT vec_id, v,
+        |  CAST(list_sum(list_transform(range(12), p ->
+        |    CASE WHEN list_sum(list_transform(range(len(v)), i ->
+        |      v[i+1] * (CAST(((((131*p + 7919*i + 12345) * 1103515245 + 12345) % 2147483648)
+        |                      * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0)
+        |    )) > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS s
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, s AS qs FROM sig WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT qid, qv, qs AS ps FROM q
+        |  UNION ALL
+        |  SELECT qid, qv, xor(qs, CAST(1 AS BIGINT) << CAST(p AS BIGINT))
+        |  FROM q CROSS JOIN (SELECT unnest(range(12)) AS p)),
+        |scored AS (SELECT qid, sig.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, sig.v) DESC, sig.vec_id) AS rank
+        |  FROM probes JOIN sig ON sig.s = probes.ps AND sig.vec_id <> probes.qid)
+        |SELECT qid, rank, nid FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // IVF ANN at iters=0: seeds are the 16 lowest ids, cell assignment and
+    // probe selection are window-argmax with (cosine desc, cid) ordering —
+    // deterministic in both engines.
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+        |         FROM e ORDER BY vec_id LIMIT 16),
+        |cells AS (SELECT vec_id AS nid, v AS nvec, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS ar
+        |    FROM e CROSS JOIN cent c) WHERE ar = 1),
+        |probes AS (SELECT qid, qv, cid FROM (
+        |    SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cid) AS pr
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE pr <= 4),
+        |scored AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, nvec) DESC, nid) AS rank
+        |  FROM probes JOIN cells USING (cid) WHERE nid <> qid)
         |SELECT qid, rank, nid FROM scored WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000)

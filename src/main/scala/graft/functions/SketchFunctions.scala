@@ -167,21 +167,24 @@ object Sketch {
     h
   }
 
-  /** Sign-of-projection LSH signature, bit-identical to the round-1
-    * zip_with/aggregate formulation: component i of plane p is
-    * XXH64.hashInt(i, XXH64.hashInt(p, 42)) scaled to [−1, 1); projection
-    * accumulates left-to-right in double. */
+  /** Sign-of-projection LSH signature, bit-identical to the column
+    * formulation in operators.Similarity.lshSignatureHof (parity-tested):
+    * component i of plane p is two LCG rounds mod 2^31 over
+    * 131p + 7919i + 12345, scaled to [−1, 1); the projection accumulates
+    * left-to-right in double. Integer-exact + power-of-two scaling ⇒ the
+    * DuckDB oracle recomputes identical signatures. */
   def lshSig(vec: ArrayData, planes: Int): Long = {
     val n = vec.numElements()
     var sig = 0L
     var p = 0
     while (p < planes) {
-      val seed = XXH64.hashInt(p, 42L)
       var proj = 0.0
       var i = 0
       while (i < n) {
-        proj += vec.getDouble(i) *
-          (XXH64.hashInt(i, seed).toDouble / Long.MaxValue.toDouble)
+        val x0 = 131L * p + 7919L * i + 12345L
+        val x1 = Math.floorMod(x0 * 1103515245L + 12345L, 2147483648L)
+        val x2 = Math.floorMod(x1 * 1103515245L + 12345L, 2147483648L)
+        proj += vec.getDouble(i) * (x2.toDouble / 1073741824.0 - 1.0)
         i += 1
       }
       if (proj > 0) sig |= (1L << p)

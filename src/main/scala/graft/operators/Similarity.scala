@@ -70,28 +70,34 @@ object Similarity {
     * equi-join on cell id (shuffle-partitionable), and cells can be
     * physically bucketed at write time.
     *
-    * Lloyd iterations run as DataFrame jobs (min_by assignment, elementwise
-    * centroid means via posexplode); centroid init is deterministic
-    * (lowest xxhash64(id) seeds). Centroid means sum floats in partition
-    * order, so cell boundaries can differ at the margin between runs —
-    * recall is asserted against brute force in tests, not exact equality.
+    * Lloyd iterations run as DataFrame jobs (window-argmax assignment,
+    * elementwise centroid means via posexplode); seeds are the nCentroids
+    * lowest ids (deterministic AND SQL-reproducible — the iters=0
+    * configuration is fully recomputable by the DuckDB oracle). Lloyd
+    * centroid means sum floats in partition order, so with iters > 0 cell
+    * boundaries can differ at the margin between runs — that configuration
+    * is asserted by recall against brute force in tests, not exact equality.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               iters: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    // deterministic seeds
-    var centroids = c.withColumn("h", xxhash64(col("nid")))
-      .orderBy("h").limit(nCentroids)
+    // deterministic seeds: the nCentroids lowest ids, cid = 0..n-1 in order
+    var centroids = c.orderBy("nid").limit(nCentroids)
       .select(monotonically_increasing_id().as("cid"), col("nvec").as("cvec"))
-    var it = 0
-    while (it < iters) {
-      val assigned = c.crossJoin(broadcast(centroids))
+    // argmax-cosine cell assignment; window (cos desc, cid) makes ties
+    // deterministic, unlike max_by
+    def assign(cs: DataFrame): DataFrame =
+      c.crossJoin(broadcast(cs))
         .withColumn("d", dot(col("nvec"), col("cvec")) /
           (norm(col("nvec")) * norm(col("cvec"))))
-        .groupBy(col("nid"), col("nvec"))
-        .agg(max_by(col("cid"), col("d")).as("cid"))
-      centroids = assigned
+        .withColumn("ar", row_number().over(
+          Window.partitionBy("nid").orderBy(col("d").desc, col("cid"))))
+        .filter(col("ar") === 1)
+        .select(col("nid"), col("nvec"), col("cid"))
+    var it = 0
+    while (it < iters) {
+      centroids = assign(centroids)
         .select(col("cid"), posexplode(col("nvec")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col")).as("v"))
@@ -100,11 +106,7 @@ object Similarity {
           x => x.getField("v")).as("cvec"))
       it += 1
     }
-    val cells = c.crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("nvec"), col("cvec")) /
-        (norm(col("nvec")) * norm(col("cvec"))))
-      .groupBy(col("nid"), col("nvec"))
-      .agg(max_by(col("cid"), col("d")).as("cid"))
+    val cells = assign(centroids)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d", dot(col("qvec"), col("cvec")) /
@@ -123,10 +125,18 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
-  /** Deterministic pseudo-random hyperplane: component c of plane p derives
-    * from xxhash64(p, c), scaled to [-1, 1). Shared by signature and tests. */
-  private def planeComponent(p: Column, cIdx: Column): Column =
-    (xxhash64(p, cIdx).cast("double") / lit(Long.MaxValue.toDouble))
+  /** Deterministic pseudo-random hyperplane: component i of plane p via two
+    * LCG mixing rounds mod 2^31 over x0 = 131·p + 7919·i + 12345, scaled to
+    * [−1, 1) by x/2^30 − 1. Every intermediate fits a 64-bit integer and the
+    * division is by a power of two (exact in double), so the identical
+    * component — and therefore the identical signature — is computable in
+    * plain SQL: the ann_lsh DuckDB oracle rebuilds the whole index. */
+  private def planeComponent(p: Column, cIdx: Column): Column = {
+    val x0 = lit(131L) * p + lit(7919L) * cIdx + lit(12345L)
+    val x1 = pmod(x0 * 1103515245L + 12345L, lit(2147483648L))
+    val x2 = pmod(x1 * 1103515245L + 12345L, lit(2147483648L))
+    x2.cast("double") / lit(1073741824.0) - lit(1.0)
+  }
 
   /** Sign-of-projection LSH signature: bit p = sign(dot(vec, plane_p)).
     * Native codegen'd kernel (functions.Sketch.lshSig) — bit-identical to
