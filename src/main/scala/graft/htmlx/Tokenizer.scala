@@ -103,7 +103,12 @@ final class Tokenizer(handler: TokenHandler) {
 
   private val textBuf = new java.lang.StringBuilder(256)
 
-  private def err(m: String): Unit = handler.parseError(m)
+  /** Char offset of the scan head — error locator (the whole-doc model makes
+    * this free; the reference needed Locator/TaintableLocator plumbing for
+    * line:col across chunk boundaries). */
+  def position: Int = p
+
+  private def err(m: String): Unit = handler.parseError(s"$m @$p")
 
   private def flushText(): Unit = {
     if (textBuf.length > 0) {

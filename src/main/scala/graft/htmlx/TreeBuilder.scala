@@ -73,8 +73,13 @@ final class TreeBuilder extends TokenHandler {
   var detectedCharset: String = null
   val errors = new ArrayBuffer[String](8)
   private val maxErrors = 32
-  private def err(m: String): Unit = if (errors.length < maxErrors) errors += m
-  override def parseError(msg: String): Unit = err(msg)
+  /** Tree-builder errors carry the tokenizer's char offset (position of the
+    * token that triggered them); tokenizer errors arrive pre-annotated. */
+  private def err(m: String): Unit = if (errors.length < maxErrors) {
+    errors += (if (tokenizer != null) s"$m @${tokenizer.position}" else m)
+  }
+  override def parseError(msg: String): Unit =
+    if (errors.length < maxErrors) errors += msg
 
   // ------------------------------------------------------------- plumbing
 

@@ -29,9 +29,10 @@ object SparkEnv {
   * usage: SynthCorpusJob <rows> <outPath> [partitions]
   */
 object SynthCorpusJob {
-  def write(spark: SparkSession, rows: Long, outPath: String, partitions: Int = 32): Unit = {
+  def write(spark: SparkSession, rows: Long, outPath: String, partitions: Int = 32,
+            idOffset: Long = 0): Unit = {
     import spark.implicits._
-    spark.range(0, rows, 1, partitions)
+    spark.range(idOffset, idOffset + rows, 1, partitions)
       .map(i => SynthCorpus.pageRow(i))
       .write.mode("overwrite").parquet(outPath)
   }

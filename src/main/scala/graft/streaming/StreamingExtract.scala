@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -61,6 +61,54 @@ object StreamingExtract {
       .queryName(outTable)
       .outputMode("complete")
       .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Content-digest key of a page (same two-digest+length scheme as
+    * `operators.Dedup.exact` — see the collision math there). */
+  final case class ContentKey(h1: Long, h2: Long, len: Int)
+  final case class SeenState(count: Long, firstUrl: String)
+  final case class FirstSeen(url: String, h1: Long, h2: Long, copies: Long)
+
+  /** Streaming exact dedup with CUSTOM STATE (flatMapGroupsWithState):
+    * emit a page the first time its content digest is seen across the whole
+    * stream; recrawls of identical content are suppressed. State (count +
+    * first url per digest) lives in the streaming state store, so dedup
+    * survives restarts via the checkpoint — the streaming analogue of
+    * `Dedup.exact`, keyed the same way so only digests shuffle, never text.
+    * At crawl scale the state store is RocksDB-backed and partitioned by the
+    * digest key — the same equi-partitioning as the batch job's shuffle. */
+  def firstSeenDedup(spark: SparkSession, inputDir: String): Dataset[FirstSeen] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = spark.readStream.schema(pageSchema).parquet(inputDir)
+      .filter($"html".isNotNull)
+      .select($"url", xxhash64($"html").as("h1"), xxhash64($"html", lit(1)).as("h2"),
+        length($"html").as("len"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey { case (_, h1, h2, len) => ContentKey(h1, h2, len) }
+    keyed.flatMapGroupsWithState[SeenState, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: ContentKey, rows: Iterator[(String, Long, Long, Int)],
+       state: GroupState[SeenState]) =>
+        val batch = rows.toArray
+        val prior = state.getOption
+        val first = prior.map(_.firstUrl).getOrElse(batch.minBy(_._1)._1)
+        val total = prior.map(_.count).getOrElse(0L) + batch.length
+        state.update(SeenState(total, first))
+        if (prior.isEmpty) Iterator(FirstSeen(first, key.h1, key.h2, batch.length.toLong))
+        else Iterator.empty
+    }
+  }
+
+  /** Drive [[firstSeenDedup]] to a parquet sink, draining available input. */
+  def firstSeenDedupOnce(spark: SparkSession, inputDir: String, outputDir: String,
+                         checkpointDir: String): StreamingQuery =
+    firstSeenDedup(spark, inputDir).writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
 }

@@ -46,6 +46,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() == 160)
   }
 
+  test("stateful first-seen dedup suppresses recrawled content across restarts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream3").toString
+    SynthCorpusJob.write(spark, 60, s"$tmp/pages", partitions = 2)
+
+    val q = StreamingExtract.firstSeenDedupOnce(spark, s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination()
+    val firstRun = spark.read.parquet(s"$tmp/out")
+    val distinctDigests = spark.read.parquet(s"$tmp/pages")
+      .select(xxhash64($"html"), length($"html")).distinct().count()
+    assert(firstRun.count() == distinctDigests)
+
+    // recrawl: the SAME 60 pages arrive again as new files — the state store
+    // (recovered from the checkpoint) must suppress every one of them
+    val fs = new java.io.File(s"$tmp/pages").listFiles().filter(_.getName.endsWith(".parquet"))
+    fs.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$tmp/pages/recrawl$i.parquet"))
+    }
+    val q2 = StreamingExtract.firstSeenDedupOnce(spark, s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() == distinctDigests,
+      "recrawled identical content must not be re-emitted")
+
+    // genuinely new content still flows through
+    SynthCorpusJob.write(spark, 20, s"$tmp/newpages", partitions = 1, idOffset = 1000)
+    new java.io.File(s"$tmp/newpages").listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$tmp/pages/new$i.parquet"))
+      }
+    val q3 = StreamingExtract.firstSeenDedupOnce(spark, s"$tmp/pages", s"$tmp/out", s"$tmp/ckpt")
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() == distinctDigests + 20)
+  }
+
   test("watermarked windowed host-rate aggregation") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream2").toString
