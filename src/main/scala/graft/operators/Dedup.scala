@@ -100,7 +100,13 @@ object Dedup {
   /** 62-bit portable SimHash over distinct words (native kernel): bit j =
     * sign of Σ_words (bit_j(hash62(w)) ? +1 : −1). The polynomial hash
     * dialect is recomputable in plain SQL — the dedup_simhash oracle
-    * rebuilds the identical signature in DuckDB. */
+    * rebuilds the identical signature in DuckDB. Tradeoff, explicit: the
+    * Karp–Rabin pair diffuses less than an avalanche hash (morphologically
+    * similar words correlate in low bits), so hamming distances compress and
+    * a given threshold admits more candidate pairs than an xxhash dialect
+    * would — recall can only improve, precision costs are bounded by the
+    * exact hamming verify + bucket caps. Swap in an avalanche hash here if
+    * SQL reproducibility is not required. */
   def simhash(textCol: Column): Column = SketchFunctions.simhash62(textCol)
 
   /** SimHash for a whole corpus — one narrow codegen'd pass. */
