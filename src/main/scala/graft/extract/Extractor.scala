@@ -119,6 +119,9 @@ object Extractor {
     var anchorDepth = 0
 
     def flush(): Unit = {
+      // most flushes are empty (flush runs twice per block element): reset
+      // and bail before allocating anything
+      if (cur.length == 0) { curLinked = 0; curHeading = false; return }
       // single pass over the accumulated chars: collapse whitespace runs,
       // count words
       val n = cur.length
@@ -155,7 +158,7 @@ object Extractor {
             elemIdx += 1
           case t: HText =>
             cur.append(t.sb)
-            if (anchorDepth > 0) curLinked += countWords(t.sb.toString)
+            if (anchorDepth > 0) curLinked += countWords(t.sb)
           case _ => ()
         }
         i += 1
@@ -217,7 +220,7 @@ object Extractor {
     sb.toString
   }
 
-  def countWords(s: String): Int = {
+  def countWords(s: CharSequence): Int = {
     var i = 0
     var words = 0
     var inWord = false
@@ -239,13 +242,15 @@ object Extractor {
     * when one of the next two blocks is content.
     */
   def classify(blocks: Vector[TextBlock]): Array[Boolean] = {
-    val n = blocks.length
+    val b = blocks.toArray // flat indexing: the loop reads 3 neighbors per i
+    val n = b.length
+    val empty = TextBlock("", 0, 0, "", isHeading = false)
     val content = new Array[Boolean](n)
     var i = 0
     while (i < n) {
-      val curr = blocks(i)
-      val prev = if (i > 0) blocks(i - 1) else TextBlock("", 0, 0, "", isHeading = false)
-      val next = if (i + 1 < n) blocks(i + 1) else TextBlock("", 0, 0, "", isHeading = false)
+      val curr = b(i)
+      val prev = if (i > 0) b(i - 1) else empty
+      val next = if (i + 1 < n) b(i + 1) else empty
       content(i) =
         if (curr.linkDensity > 0.333333) false
         else if (curr.words >= 25 && curr.linkDensity <= 0.1) true // standalone prose
@@ -260,16 +265,16 @@ object Extractor {
     // non-heading block within the next three is content.
     i = 0
     while (i < n) {
-      if (blocks(i).isHeading) {
+      if (b(i).isHeading) {
         var j = i + 1
         var verdict = false
         var looked = 0
         var done = false
         while (!done && j < n && looked < 3) {
-          if (!blocks(j).isHeading) { verdict = content(j); done = true }
+          if (!b(j).isHeading) { verdict = content(j); done = true }
           j += 1; looked += 1
         }
-        content(i) = verdict && blocks(i).linkDensity <= 0.333333
+        content(i) = verdict && b(i).linkDensity <= 0.333333
       }
       i += 1
     }
