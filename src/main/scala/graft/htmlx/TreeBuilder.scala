@@ -996,6 +996,13 @@ final class TreeBuilder extends TokenHandler {
         if ((current.ns eq Ns.html) && current.name == "option") pop()
         if ((current.ns eq Ns.html) && current.name == "optgroup") pop()
         insertElement(name, attrs)
+      case "hr" =>
+        // current spec allows hr between options (postdates the reference's
+        // validator.nu vintage, like rb/rtc)
+        if ((current.ns eq Ns.html) && current.name == "option") pop()
+        if ((current.ns eq Ns.html) && current.name == "optgroup") pop()
+        insertElement(name, attrs)
+        pop()
       case "select" =>
         err("nested select")
         if (hasInSelectScope("select")) { popUntil("select"); resetInsertionMode() }
