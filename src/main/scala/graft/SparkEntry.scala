@@ -86,6 +86,10 @@ object SparkEntry {
       Dedup.minhashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy("id1", "id2")
     }),
+    "dup_ngram_stats" -> ((s, dir) => {
+      Dedup.dupNgramStats(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 8)
         .withColumn("hamming", col("hamming").cast("long")) // match oracle BIGINT
@@ -277,6 +281,19 @@ object SparkEntry {
         |      FROM cand JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2)
         |SELECT id1, id2, inter, uni FROM p WHERE inter * 2 >= uni
         |ORDER BY id1, id2""".stripMargin,
+    // Cross-corpus duplicate n-gram fraction (MassiveText/Gopher repetition
+    // filter): doc frequency of distinct string shingles, integer-exact.
+    "dup_ngram_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+        |        i -> w[i+1] || w[i+2] || w[i+3])) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |df AS (SELECT g, count(*) AS df FROM e GROUP BY g)
+        |SELECT doc_id, count(*) AS ngrams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+        |  CAST(floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS dup_frac_x10000
+        |FROM e JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // SimHash near-dup: the 62-bit portable signature (two Karp–Rabin hashes
     // packed — see functions.Sketch) is recomputed verbatim in SQL, then the
     // exact candidate rule is replicated: 4×16-bit pigeonhole keys, per-key

@@ -97,6 +97,27 @@ object Dedup {
       minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize),
       idCol, textCol, shingleSize, threshold)
 
+  /** Per-document cross-corpus repetition statistics (the MassiveText/
+    * Gopher-style duplicate n-gram filter): for each document, the count of
+    * its distinct word shingles and how many of them occur in ≥2 documents,
+    * plus the duplicated fraction ×10⁴ floored (integer-exact for the
+    * oracle). 100 TB shape: one explode of (8-byte shingle hash, id), one
+    * hash-shuffle to compute document frequency (shingles are distinct per
+    * doc, so count(*) IS the doc frequency — no count-distinct), one
+    * equi-join back, one per-doc aggregate. Never shuffles text. */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleSize)).as("g"))
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(df, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("ngrams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_ngrams"))
+      .withColumn("dup_frac_x10000",
+        floor(col("dup_ngrams") * 10000 / col("ngrams")).cast("long"))
+  }
+
   /** 62-bit portable SimHash over distinct words (native kernel): bit j =
     * sign of Σ_words (bit_j(hash62(w)) ? +1 : −1). The polynomial hash
     * dialect is recomputable in plain SQL — the dedup_simhash oracle

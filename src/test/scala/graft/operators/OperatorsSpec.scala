@@ -161,6 +161,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
+  test("duplicate n-gram fraction flags planted dups, clears unique docs") {
+    import spark.implicits._
+    val out = Dedup.dupNgramStats(docsWithPlantedDups, "doc_id", "text")
+      .select($"id", $"dup_frac_x10000").as[(Long, Long)].collect().toMap
+    // docs 0 and 1 are identical → every shingle shared → fraction 10000
+    assert(out(0L) == 10000 && out(1L) == 10000)
+    // near-dups share most but not all shingles
+    assert(out(2L) > 5000 && out(2L) < 10000)
+    // unrelated docs share nothing
+    assert(out(3L) == 0 && out(5L) == 0)
+  }
+
   test("native LSH signature is bit-identical to the higher-order formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
