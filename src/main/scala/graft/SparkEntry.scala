@@ -60,6 +60,16 @@ object SparkEntry {
           col("col.path").as("path"))
         .orderBy("doc_id", "span_idx")
     }),
+    "extract_links" -> ((s, dir) => {
+      // web-graph edge list: every <a href> per page in DOM order. The
+      // oracle reconstructs the deterministic synthetic link structure
+      // (href side); anchor text is covered by unit tests.
+      pages(s, dir).select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          posexplode(graft.functions.HtmlFunctions.extract_links(decode(col("html"), "UTF-8"))))
+        .select(col("doc_id"), col("pos").as("link_idx"), col("col.href").as("href"))
+        .orderBy("doc_id", "link_idx")
+    }),
     "host_stats" -> ((s, dir) => {
       pages(s, dir)
         .select(ExtractPipeline.hostCol(col("url")).as("host"))
@@ -254,6 +264,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 1, length(title) + 1, length(title) + 1 + length(text), art || '/p[1]' FROM base
         |ORDER BY doc_id, span_idx""".stripMargin,
+    // web-graph edges: the synthetic page's link structure is a pure
+    // function of doc_id (nav sections, fostered table link on %9, article
+    // cite on %23 when the post-transform word count allows, aside+footer)
+    "extract_links" ->
+      """WITH d AS (SELECT doc_id,
+        |        len(string_split(text, ' ')) - CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS ew
+        |      FROM documents),
+        |l AS (SELECT doc_id,
+        |        list_transform(range(4 + CAST(doc_id % 3 AS INT)), i -> '/section/' || i)
+        |        || CASE WHEN doc_id % 9 = 0 THEN ['/t'] ELSE CAST([] AS VARCHAR[]) END
+        |        || CASE WHEN doc_id % 23 = 0 AND ew >= 7 THEN ['/cite'] ELSE CAST([] AS VARCHAR[]) END
+        |        || ['/r/1', '/r/2', '/privacy', '/terms'] AS hrefs
+        |      FROM d),
+        |x AS (SELECT doc_id, unnest(list_transform(range(len(hrefs)),
+        |        i -> {'link_idx': CAST(i AS INT), 'href': hrefs[i+1]})) AS u FROM l)
+        |SELECT doc_id, u.link_idx AS link_idx, u.href AS href FROM x
+        |ORDER BY doc_id, link_idx""".stripMargin,
     "host_stats" ->
       """SELECT CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
         |            ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END AS host,

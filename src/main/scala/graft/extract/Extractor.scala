@@ -198,6 +198,49 @@ object Extractor {
     out.toVector
   }
 
+  /** Link-graph edges in DOM (document) order: (href, normalized anchor
+    * text) for every HTML-namespace `<a>` carrying an href attribute —
+    * the edge list a web-graph / PageRank stage consumes. SVG `<a>` links
+    * and href-less anchors are skipped; nesting cannot occur (the parser
+    * forbids nested `<a>`). */
+  def links(root: HParent): ArrayBuffer[(String, String)] = {
+    val out = new ArrayBuffer[(String, String)](16)
+    val text = new java.lang.StringBuilder
+    def collectText(p: HParent): Unit = {
+      val cs = p.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case t: HText => text.append(t.sb)
+          case e: HElement if e.ns eq Ns.html => collectText(e)
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    def walk(p: HParent): Unit = {
+      val cs = p.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case e: HElement if (e.ns eq Ns.html) && e.name == "a" =>
+            e.attr("href") match {
+              case Some(href) =>
+                text.setLength(0)
+                collectText(e)
+                out += ((href, normalizeWs(text.toString).trim))
+              case None => walk(e)
+            }
+          case e: HElement if e.ns eq Ns.html => walk(e)
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    walk(root)
+    out
+  }
+
   def findBody(root: HParent): Option[HElement] = {
     root.children.collectFirst { case e: HElement if e.isHtmlNs && e.name == "html" => e }
       .flatMap(_.children.collectFirst { case e: HElement if e.isHtmlNs && e.name == "body" => e })

@@ -108,10 +108,36 @@ object HtmlFunctions {
     override def prettyName: String = "extract_main"
   }
 
+  /** Link-graph edges of a page: array<struct<href,text>> in DOM order
+    * (Extractor.links over the full engine). */
+  case class ExtractLinks(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("href", StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("text", StringType, nullable = false))),
+        containsNull = false)
+    override def prettyName: String = "extract_links"
+    override def nullSafeEval(v: Any): Any = {
+      val doc = HtmlParser.parseDocument(v.asInstanceOf[UTF8String].toString).doc
+      val ls = Extractor.links(doc)
+      val rows = new Array[Any](ls.length)
+      var i = 0
+      while (i < ls.length) {
+        rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(ls(i)._1), UTF8String.fromString(ls(i)._2))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
   def decode_entities(c: Column): Column = toCol(DecodeHtmlEntities(toExpr(c)))
   def strip_html(c: Column): Column = toCol(StripHtml(toExpr(c)))
   def extract_main(c: Column): Column = toCol(ExtractMain(toExpr(c)))
+  def extract_links(c: Column): Column = toCol(ExtractLinks(toExpr(c)))
 
   /** SQL registration: `SELECT decode_entities(col) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -119,5 +145,6 @@ object HtmlFunctions {
     reg.createOrReplaceTempFunction("decode_entities", es => DecodeHtmlEntities(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("strip_html", es => StripHtml(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_main", es => ExtractMain(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
   }
 }

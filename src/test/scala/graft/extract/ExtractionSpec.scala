@@ -44,4 +44,19 @@ class ExtractionSpec extends AnyFunSuite {
     val b = Extractor.extract(HtmlParser.parseDocument(html).doc)
     assert(a.text == b.text && a.spans.toSeq == b.spans.toSeq)
   }
+
+  test("link extraction: DOM order, normalized anchors, foreign/href-less skipped") {
+    val html =
+      """<body><p><a href="/x">one  <b>two</b>
+        |three</a> plain <a name=anchor>no href <a href="/y"></a></p>
+        |<svg><a href="/svg">svg link</a></svg>
+        |<table><a href="/f">fostered</a><tr><td><a href="/cell">cell</a></td></tr></table>
+        |</body>""".stripMargin
+    val ls = Extractor.links(HtmlParser.parseDocument(html).doc).toSeq
+    assert(ls == Seq(
+      ("/x", "one two three"),
+      ("/y", ""),
+      ("/f", "fostered"),
+      ("/cell", "cell")))
+  }
 }
