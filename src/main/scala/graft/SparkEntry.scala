@@ -60,6 +60,12 @@ object SparkEntry {
           col("col.path").as("path"))
         .orderBy("doc_id", "span_idx")
     }),
+    "extract_title" -> ((s, dir) => {
+      pages(s, dir).select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          graft.functions.HtmlFunctions.extract_title(decode(col("html"), "UTF-8")).as("title"))
+        .orderBy("doc_id")
+    }),
     "extract_links" -> ((s, dir) => {
       // web-graph edge list: every <a href> per page in DOM order. The
       // oracle reconstructs the deterministic synthetic link structure
@@ -264,6 +270,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 1, length(title) + 1, length(title) + 1 + length(text), art || '/p[1]' FROM base
         |ORDER BY doc_id, span_idx""".stripMargin,
+    "extract_title" ->
+      """SELECT doc_id,
+        |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) AS title
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // web-graph edges: the synthetic page's link structure is a pure
     // function of doc_id (nav sections, fostered table link on %9, article
     // cite on %23 when the post-transform word count allows, aside+footer)

@@ -108,6 +108,28 @@ object HtmlFunctions {
     override def prettyName: String = "extract_main"
   }
 
+  /** Document title: text of the first HTML-namespace `<title>` (RCDATA —
+    * entities decoded by the tokenizer), whitespace-normalized. Empty string
+    * when absent. */
+  case class ExtractTitle(child: Expression) extends StringMapExpression {
+    protected def mapString(s: String): String = {
+      val doc = HtmlParser.parseDocument(s).doc
+      def find(p: graft.htmlx.HParent): Option[graft.htmlx.HElement] =
+        p.children.iterator.flatMap {
+          case e: graft.htmlx.HElement if e.isHtmlNs && e.name == "title" => Iterator.single(e)
+          case e: graft.htmlx.HElement => find(e).iterator
+          case _ => Iterator.empty
+        }.nextOption()
+      find(doc).map { t =>
+        val sb = new java.lang.StringBuilder
+        t.children.foreach { case tx: graft.htmlx.HText => sb.append(tx.sb); case _ => () }
+        Extractor.normalizeWs(sb.toString).trim
+      }.getOrElse("")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+    override def prettyName: String = "extract_title"
+  }
+
   /** Link-graph edges of a page: array<struct<href,text>> in DOM order
     * (Extractor.links over the full engine). */
   case class ExtractLinks(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -138,6 +160,7 @@ object HtmlFunctions {
   def strip_html(c: Column): Column = toCol(StripHtml(toExpr(c)))
   def extract_main(c: Column): Column = toCol(ExtractMain(toExpr(c)))
   def extract_links(c: Column): Column = toCol(ExtractLinks(toExpr(c)))
+  def extract_title(c: Column): Column = toCol(ExtractTitle(toExpr(c)))
 
   /** SQL registration: `SELECT decode_entities(col) ...`. */
   def register(spark: SparkSession): Unit = {
