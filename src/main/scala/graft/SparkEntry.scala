@@ -177,6 +177,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("byte_len"), col("frames"))
         .orderBy("doc_id")
     }),
+    "mm_frame_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.frameSample(
+          Multimodal.features(media, "doc_id", "media", "video").toDF(),
+          "id", "frames")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "sample_idx")
+    }),
+    "mm_resize_plan" -> ((s, dir) => {
+      val dims = docs(s, dir).select(col("doc_id"),
+          (octet_length(encode(col("text"), "UTF-8")) % 1920 + 16).cast("int").as("src_w"),
+          (octet_length(encode(col("text"), "UTF-8")) % 1080 + 16).cast("int").as("src_h"))
+      Multimodal.resizePlan(dims, "doc_id", "src_w", "src_h")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
     // ------------------------------------------- scalar function surface
     "entities_decode" -> ((s, dir) => {
       // encode letters as char-refs, decode through the native expression,
@@ -508,6 +524,25 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  octet_length(encode(text)) % 30 + 1 AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS frames FROM documents),
+        |s AS (SELECT doc_id, range(0, frames, 4)[1:8] AS sel FROM f),
+        |x AS (SELECT doc_id, unnest(list_transform(range(len(sel)),
+        |        i -> {'sample_idx': CAST(i AS INT), 'frame_idx': CAST(sel[i+1] AS INT)})) AS u
+        |      FROM s)
+        |SELECT doc_id, u.sample_idx AS sample_idx, u.frame_idx AS frame_idx FROM x
+        |ORDER BY doc_id, sample_idx""".stripMargin,
+    "mm_resize_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |        octet_length(encode(text)) % 1920 + 16 AS w,
+        |        octet_length(encode(text)) % 1080 + 16 AS h
+        |      FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+        |  CAST(CASE WHEN greatest(w, h) <= 224 THEN w WHEN w >= h THEN 224
+        |            ELSE floor(w * 224.0 / h) END AS INT) AS dst_w,
+        |  CAST(CASE WHEN greatest(w, h) <= 224 THEN h WHEN h >= w THEN 224
+        |            ELSE floor(h * 224.0 / w) END AS INT) AS dst_h
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -77,4 +77,44 @@ object Multimodal {
       .map { case (id, m) => MediaRow(id, m, kind) }
     decodeStage(ds, new StubDecoder)
   }
+
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.Column
+
+  /** Deterministic every-`stride`-th frame selection over decoded frame
+    * counts, capped at `maxFrames` — the sampling stage a video pipeline
+    * runs before feature extraction. Pure column math over the decode
+    * stage's output: one narrow pass, explode only the selected indices
+    * (never a row per source frame). */
+  def frameSample(features: DataFrame, idCol: String, framesCol: String,
+                  stride: Int = 4, maxFrames: Int = 8): DataFrame =
+    features.select(col(idCol).as("id"), col(framesCol).as("frames"))
+      .select(col("id"), col("frames"),
+        posexplode(slice(sequence(lit(0), col("frames") - 1, lit(stride)),
+          1, maxFrames)))
+      .select(col("id"), col("pos").as("sample_idx"), col("col").as("frame_idx"))
+
+  /** Aspect-preserving resize plan to fit a `target`×`target` box (never
+    * upscale): the metadata a batched image-resize stage consumes. Source
+    * dimensions come from the decoder; integer-exact math (floor of an
+    * integer product quotient) so the plan is reproducible in plain SQL. */
+  def resizePlan(dims: DataFrame, idCol: String, wCol: String, hCol: String,
+                 target: Int = 224): DataFrame = {
+    val w = col(wCol)
+    val h = col(hCol)
+    val needs = greatest(w, h) > target
+    val dstW = when(!needs, w)
+      .otherwise(when(w >= h, lit(target)).otherwise(floor(w * target / h).cast("int")))
+    val dstH = when(!needs, h)
+      .otherwise(when(h >= w, lit(target)).otherwise(floor(h * target / w).cast("int")))
+    dims.select(col(idCol).as("id"), w.as("src_w"), h.as("src_h"),
+      dstW.cast("int").as("dst_w"), dstH.cast("int").as("dst_h"))
+  }
+
+  /** Stub source dimensions, deterministic per blob size (the real decoder
+    * seam would report true dims): w = len % 1920 + 16, h = len % 1080 + 16. */
+  def stubDims(idCol: Column, byteLen: Column): DataFrame => DataFrame =
+    df => df.select(idCol.as("id"),
+      (byteLen % 1920 + 16).cast("int").as("src_w"),
+      (byteLen % 1080 + 16).cast("int").as("src_h"))
 }
