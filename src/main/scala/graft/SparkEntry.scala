@@ -163,6 +163,16 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
     }),
+    "pii_redact" -> ((s, dir) => {
+      // plant deterministic PII per row, redact, return the scrubbed text —
+      // the oracle replicates plant + redact byte-identically
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example or 555-12"),
+        (col("doc_id") % 10).cast("string"), lit("-4567 now"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(planted).as("clean"))
+        .orderBy("doc_id")
+    }),
     "doc_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
@@ -380,6 +390,14 @@ object SparkEntry {
         |  ON a.k = b.k AND a.key = b.key AND b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 8
         |ORDER BY id1, id2""".stripMargin,
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or 555-12'
+        |         || CAST(doc_id % 10 AS VARCHAR) || '-4567 now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Karp–Rabin fingerprint + winnowing count, recomputed in SQL over the
     // same 62-bit portable shingle hashes (functions.Sketch dialect):
     // list_position-based first-occurrence distinct, window-of-4 minima.

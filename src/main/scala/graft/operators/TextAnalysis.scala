@@ -76,6 +76,18 @@ object TextAnalysis {
       .otherwise(element_at(winners, 1).getField("l"))
   }
 
+  /** PII redaction: emails and simple phone forms replaced by typed
+    * placeholders — the standard pre-training scrub pass. Patterns stay in
+    * the common Java-regex ∩ RE2 subset so the DuckDB oracle applies the
+    * byte-identical rewrite. Built-in regexp_replace — codegen'd, no UDF. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(textCol, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Karp–Rabin rolling fingerprint of the whole text:
     * fp = Σ c_i · B^(n-1-i) mod (2^31 − 1), B = 31. The Mersenne-prime
     * modulus keeps every intermediate < 2^36, so the arithmetic is exact
