@@ -530,9 +530,12 @@ final class Tokenizer(handler: TokenHandler) {
             p = q + 2
             done = true
           } else if (q >= n) {
+            // EOF with pending close-dashes: the comment-end(-dash) states
+            // only fold dashes into the data when a non-close char follows;
+            // at EOF the last two (the would-be "--" of "-->") are dropped
             err("eof-in-comment")
             var i = 0
-            while (i < dashes) { sb.append('-'); i += 1 }
+            while (i < dashes - 2) { sb.append('-'); i += 1 }
             p = q
             handler.comment(sb.toString); handlerEofAfter(); return
           } else {
@@ -540,6 +543,11 @@ final class Tokenizer(handler: TokenHandler) {
             while (i < dashes) { sb.append('-'); i += 1 }
             p = q
           }
+        } else if (p + 1 >= n) {
+          // lone dash at EOF = comment-end-dash state at EOF: dropped
+          err("eof-in-comment")
+          p += 1
+          handler.comment(sb.toString); handlerEofAfter(); return
         } else { sb.append('-'); p += 1 }
       } else if (c == '\u0000') { sb.append('�'); p += 1 }
       else { sb.append(c); p += 1 }

@@ -731,6 +731,11 @@ final class TreeBuilder extends TokenHandler {
   def doctype(name: String, publicId: String, systemId: String, forceQuirks: Boolean): Unit = {
     needToDropLF = false
     if (mode == Initial) {
+      // spec: any name other than exactly "html", or any public id, or a
+      // system id other than about:legacy-compat, is a parse error
+      if (name != "html" || publicId != null ||
+          (systemId != null && systemId != "about:legacy-compat"))
+        err("non-conforming doctype")
       doc.appendChild(new HDoctype(if (name == null) "" else name, publicId, systemId))
       val q = computeQuirks(name, publicId, systemId, forceQuirks)
       doc.quirksMode = q
