@@ -21,6 +21,11 @@ final case class TextBlock(
   }
 }
 
+/** Offsets and charCount are UTF-16 code units (JVM String semantics), NOT
+  * code points: supplementary-plane chars (emoji, rare CJK — common in real
+  * crawls) count as 2. Any cross-system consumer comparing lengths must use
+  * the same unit (SQL engines usually count code points; the test corpus is
+  * ASCII where the two coincide). */
 final case class Span(start: Int, end: Int, path: String)
 
 final case class Extraction(
