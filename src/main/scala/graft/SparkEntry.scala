@@ -60,6 +60,21 @@ object SparkEntry {
           col("col.path").as("path"))
         .orderBy("doc_id", "span_idx")
     }),
+    "pdf_extract" -> ((s, dir) => {
+      // PDF leg roundtrip: documents.text → deterministic single-page PDF
+      // (FlateDecode on odd ids, raw on even) → full pipeline parseOne
+      // (magic-byte sniff → pdfx extractor) → rejoin wrapped lines → must
+      // equal the source text byte-for-byte
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val pdf = graft.pdfx.MiniPdf.build(graft.pdfx.MiniPdf.wrap(t), compress = id % 2 == 1)
+          val doc = ExtractPipeline.parseOne(SynthCorpus.url(id), pdf)
+          (id, doc.text.replace('\n', ' '), doc.detected_charset, doc.ok)
+        }
+        .toDF("doc_id", "text", "kind", "ok")
+        .orderBy("doc_id")
+    }),
     "extract_title" -> ((s, dir) => {
       pages(s, dir).select(
           regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
@@ -296,6 +311,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 1, length(title) + 1, length(title) + 1 + length(text), art || '/p[1]' FROM base
         |ORDER BY doc_id, span_idx""".stripMargin,
+    "pdf_extract" ->
+      """SELECT doc_id, text, 'pdf' AS kind, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "extract_title" ->
       """SELECT doc_id,
         |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) AS title

@@ -43,13 +43,30 @@ object ExtractPipeline {
 
   /** Pure per-row parse+extract — the engine the reference implements as its
     * whole program (reference: SimpleHtmlParser.cs:60-65). `engine` may be
-    * reused across rows (scratch persists; state reset per parse). */
+    * reused across rows (scratch persists; state reset per parse).
+    * Crawled bodies are content-sniffed: %PDF- magic routes to the PDF leg
+    * (graft.pdfx — the north_rule's "PDF/layout parse" pipeline member);
+    * everything else is HTML. */
   def parseOne(url: String, html: Array[Byte],
                engine: HtmlParser.Engine = new HtmlParser.Engine): ExtractedDoc = {
     try {
       if (html == null) return ExtractedDoc(url, "", Nil, 0, 0, null, Seq("null html"), ok = false)
       if (html.length > maxHtmlBytes)
         return ExtractedDoc(url, "", Nil, 0, 0, null, Seq(s"oversized html: ${html.length}"), ok = false)
+      if (graft.pdfx.PdfTextExtractor.isPdf(html)) {
+        val pdf = graft.pdfx.PdfTextExtractor.extract(html)
+        // spans: one per extracted line, offsets into the joined text
+        val spans = scala.collection.mutable.ArrayBuffer.empty[SpanRow]
+        var off = 0
+        var li = 0
+        pdf.lines.foreach { l =>
+          spans += SpanRow(off, off + l.length, s"pdf/line[$li]")
+          off += l.length + 1 // '\n' joiner
+          li += 1
+        }
+        return ExtractedDoc(url, pdf.text, spans.toSeq, pdf.text.length, pdf.lines.length,
+          "pdf", if (pdf.ok) Nil else Seq("pdf extraction failed"), ok = pdf.ok)
+      }
       val parsed = engine.parseBytes(html)
       val ex = Extractor.extract(parsed.doc)
       ExtractedDoc(url, ex.text,
