@@ -58,8 +58,12 @@ object ExtractJob {
     val output = args(1)
     val buckets = if (args.length > 2) args(2).toInt else 64
     val epoch = if (args.length > 3) args(3).toInt else 0
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkEnv.session(s"local[$cpus]", "graft-extract", cpus.toInt)
+    // under spark-submit the cluster manager supplies the master; the env
+    // var forces a local master only for sandbox runs
+    val master = sys.env.get("SPARK_GRAFT_CPUS").map(c => s"local[$c]").orNull
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).toInt
+    val spark = SparkEnv.session(master, "graft-extract", shuffleParts)
     spark.sparkContext.setLogLevel("WARN")
     val res = ExtractPipeline.run(spark, input, output, buckets = buckets, epoch = epoch)
     println(s"""{"pendingBuckets":${res.pendingBuckets},"rowsProcessed":${res.rowsProcessed}}""")
