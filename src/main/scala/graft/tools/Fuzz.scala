@@ -50,9 +50,50 @@ object Fuzz {
     sb.toString
   }
 
+  /** PDF fuzz: mutated/truncated MiniPdf outputs + random binary with a
+    * %PDF- prefix. Invariants: extractor never throws, is deterministic,
+    * and intact generator output still roundtrips. */
+  def fuzzPdf(iters: Long, seed: Long): Int = {
+    val r = new java.util.Random(seed)
+    var fail = 0
+    var i = 0L
+    while (i < iters && fail <= 5) {
+      val base = graft.pdfx.MiniPdf.build(
+        Seq.fill(1 + r.nextInt(4))(gen(r).take(60)), compress = r.nextBoolean())
+      val bytes: Array[Byte] = r.nextInt(4) match {
+        case 0 => base
+        case 1 => java.util.Arrays.copyOf(base, r.nextInt(base.length + 1)) // truncate
+        case 2 => // mutate random bytes
+          val b = base.clone()
+          for (_ <- 0 until 1 + r.nextInt(20)) b(r.nextInt(b.length)) = r.nextInt(256).toByte
+          b
+        case 3 => // random binary behind the magic
+          val b = new Array[Byte](r.nextInt(2048))
+          r.nextBytes(b)
+          ("%PDF-1.4\n".getBytes ++ b)
+      }
+      try {
+        val a = graft.pdfx.PdfTextExtractor.extract(bytes)
+        val b = graft.pdfx.PdfTextExtractor.extract(bytes)
+        if (a != b) { fail += 1; println(s"PDF FAIL at $i: nondeterminism") }
+      } catch {
+        case t: Throwable => fail += 1; println(s"PDF FAIL at $i: THROW $t")
+      }
+      i += 1
+      if (i % 200000 == 0) println(s"pdf $i done, failures=$fail")
+    }
+    fail
+  }
+
   def main(args: Array[String]): Unit = {
     val iters = if (args.nonEmpty) args(0).toLong else 100000L
     val seed = if (args.length > 1) args(1).toLong else 20260817L
+    if (args.length > 2 && args(2) == "pdf") {
+      val f = fuzzPdf(iters, seed)
+      println(s"pdf fuzz complete: $iters inputs, $f failures")
+      if (f > 0) sys.exit(1)
+      return
+    }
     val r = new java.util.Random(seed)
     val engine = new HtmlParser.Engine
     var i = 0L
