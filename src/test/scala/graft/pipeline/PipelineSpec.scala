@@ -92,6 +92,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.select($"bucket").distinct().count() == buckets.toLong)
   }
 
+  test("mixed-media corpus: PDFs and HTML route to the right leg in one job") {
+    import spark.implicits._
+    val out3 = s"$tmp/outmixed"
+    // half the pages re-encoded as PDFs of the same text, half stay HTML
+    val mixed = spark.read.parquet(s"$tmp/pages")
+      .as[PageRow]
+      .map { r =>
+        val id = r.url.substring(r.url.lastIndexOf('/') + 1).toLong
+        if (id % 2 == 0)
+          r.copy(html = graft.pdfx.MiniPdf.build(
+            graft.pdfx.MiniPdf.wrap(r.text), compress = id % 4 == 0))
+        else r
+      }
+    mixed.write.mode("overwrite").parquet(s"$tmp/pagesmixed")
+    val res = ExtractPipeline.run(spark, s"$tmp/pagesmixed", out3, buckets = 8)
+    assert(res.rowsProcessed == rows)
+    val extracted = spark.read.parquet(s"$out3/extracted")
+    assert(extracted.filter($"detected_charset" === "pdf").count() == rows / 2)
+    // the PDF leg's text must equal ground truth modulo the line wrapping
+    val truth = spark.read.parquet(s"$tmp/pages").select($"url", $"text".as("expected"))
+    // ground truth itself contains the title separator newline: compare
+    // newline-normalized on BOTH sides (the PDF leg wraps lines at words)
+    val bad = extracted.join(broadcast(truth), Seq("url"))
+      .filter(!(regexp_replace($"text", "\n", " ") <=> regexp_replace($"expected", "\n", " ")) || !$"ok")
+      .count()
+    assert(bad == 0, s"$bad mixed-media rows mismatch ground truth")
+  }
+
   test("heavy host spreads across multiple buckets (salting)") {
     import spark.implicits._
     val b = spark.read.parquet(s"$tmp/pages")
