@@ -178,6 +178,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
     }),
+    "unicode_nfc" -> ((s, dir) => {
+      // plant decomposed sequences (e + U+0301, A + U+030A) per row; NFC
+      // must compose them; the ASCII body passes through untouched
+      val planted = concat(col("text"),
+        lit(" cafe\u0301 A\u030Angstro\u0308m #"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.nfcNormalize(planted).as("nfc"))
+        .orderBy("doc_id")
+    }),
     "pii_redact" -> ((s, dir) => {
       // plant deterministic PII per row, redact, return the scrubbed text —
       // the oracle replicates plant + redact byte-identically
@@ -408,6 +417,11 @@ object SparkEntry {
         |  ON a.k = b.k AND a.key = b.key AND b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 8
         |ORDER BY id1, id2""".stripMargin,
+    "unicode_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm #'
+        |                || CAST(doc_id AS VARCHAR)) AS nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(

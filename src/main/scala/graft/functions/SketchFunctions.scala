@@ -250,6 +250,18 @@ object SketchFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class NfcNormalize(child: Expression) extends SketchUnary {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "nfc_normalize"
+    override def nullSafeEval(t: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        t.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+    override protected def callExpr(c: String): String =
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class LshSig(child: Expression, planes: Int) extends SketchUnary {
     override def dataType: DataType = LongType
     override def prettyName: String = "vec_lsh_sig"
@@ -266,4 +278,5 @@ object SketchFunctions {
   def simhash62(text: Column): Column = toCol(SimHash62(toExpr(text)))
   def poly_fingerprint(text: Column): Column = toCol(PolyFingerprint(toExpr(text)))
   def vec_lsh_sig(vec: Column, planes: Int): Column = toCol(LshSig(toExpr(vec), planes))
+  def nfc_normalize(text: Column): Column = toCol(NfcNormalize(toExpr(text)))
 }

@@ -76,6 +76,13 @@ object TextAnalysis {
       .otherwise(element_at(winners, 1).getField("l"))
   }
 
+  /** Unicode NFC normalization — the canonical-composition pass a training
+    * pipeline runs before tokenization (decomposed accents, compatibility
+    * variants from crawled text). Thin codegen'd expression over
+    * java.text.Normalizer; DuckDB's nfc_normalize is the oracle. */
+  def nfcNormalize(textCol: Column): Column =
+    graft.functions.SketchFunctions.nfc_normalize(textCol)
+
   /** PII redaction: emails and simple phone forms replaced by typed
     * placeholders — the standard pre-training scrub pass. Patterns stay in
     * the common Java-regex ∩ RE2 subset so the DuckDB oracle applies the
