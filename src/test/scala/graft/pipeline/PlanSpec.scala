@@ -105,6 +105,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bucketed tables join without a shuffle (co-located join path)") {
+    // the write-time bucketing lever for 100 TB joins: two tables bucketed
+    // on the join key by the same function sort-merge-join with NO exchange
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    val docs = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/bk_a").mode("overwrite").saveAsTable("bk_a")
+    docs.selectExpr("doc_id", "n_chars").write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/bk_b").mode("overwrite").saveAsTable("bk_b")
+    val joined = s2.table("bk_a").join(s2.table("bk_b"), "doc_id")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+  }
+
   test("exact dedup shuffles digests, not document text (VERDICT r01 #6)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // round-1 formulation: the text column rides along as a group key
