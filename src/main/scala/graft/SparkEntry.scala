@@ -178,6 +178,10 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
     }),
+    "gopher_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
     "unicode_nfc" -> ((s, dir) => {
       // plant decomposed sequences (e + U+0301, A + U+030A) per row; NFC
       // must compose them; the ASCII body passes through untouched
@@ -417,6 +421,20 @@ object SparkEntry {
         |  ON a.k = b.k AND a.key = b.key AND b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 8
         |ORDER BY id1, id2""".stripMargin,
+    "gopher_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |wt AS (SELECT doc_id, sum(c) AS words, max(c) AS top_word_n FROM (
+        |         SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) GROUP BY doc_id),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+        |         i -> ws[i+1] || ' ' || ws[i+2])) AS b
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)),
+        |bt AS (SELECT doc_id, max(c) AS top_bigram_n FROM (
+        |         SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id)
+        |SELECT wt.doc_id, CAST(words AS BIGINT) AS words,
+        |  CAST(top_word_n AS BIGINT) AS top_word_n,
+        |  CAST(floor(top_word_n * 10000.0 / words) AS BIGINT) AS top_word_frac_x10000,
+        |  CAST(coalesce(bt.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+        |FROM wt LEFT JOIN bt ON wt.doc_id = bt.doc_id ORDER BY wt.doc_id""".stripMargin,
     "unicode_nfc" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm #'

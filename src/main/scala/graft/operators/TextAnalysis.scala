@@ -76,6 +76,32 @@ object TextAnalysis {
       .otherwise(element_at(winners, 1).getField("l"))
   }
 
+  /** Within-document repetition signals (Gopher-style quality filters):
+    * the count of the most frequent word and adjacent bigram, plus their
+    * fraction of all tokens ×10⁴ floored (integer-exact for the oracle).
+    * Highly repetitive documents (boilerplate loops, keyword stuffing)
+    * score high and get filtered. Distributed shape: explode tokens,
+    * two-level aggregate on (id, token) then id — shuffles 8-byte hashes
+    * of tokens, never text bodies. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val wordTop = words.groupBy("id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("words"), max(col("c")).as("top_word_n"))
+    val bigrams = df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, greatest(size(ws) - 2, 0)), " +
+          "i -> IF(i + 2 <= size(ws), concat(ws[i], ' ', ws[i+1]), null))")).as("b"))
+      .filter(col("b").isNotNull)
+    val bigramTop = bigrams.groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_bigram_n"))
+    wordTop.join(bigramTop, Seq("id"), "left")
+      .select(col("id"), col("words"), col("top_word_n"),
+        floor(col("top_word_n") * 10000 / col("words")).cast("long").as("top_word_frac_x10000"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
   /** Unicode NFC normalization — the canonical-composition pass a training
     * pipeline runs before tokenization (decomposed accents, compatibility
     * variants from crawled text). Thin codegen'd expression over
