@@ -79,7 +79,6 @@ object Multimodal {
   }
 
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.Column
 
   /** Deterministic every-`stride`-th frame selection over decoded frame
     * counts, capped at `maxFrames` — the sampling stage a video pipeline
@@ -111,10 +110,4 @@ object Multimodal {
       dstW.cast("int").as("dst_w"), dstH.cast("int").as("dst_h"))
   }
 
-  /** Stub source dimensions, deterministic per blob size (the real decoder
-    * seam would report true dims): w = len % 1920 + 16, h = len % 1080 + 16. */
-  def stubDims(idCol: Column, byteLen: Column): DataFrame => DataFrame =
-    df => df.select(idCol.as("id"),
-      (byteLen % 1920 + 16).cast("int").as("src_w"),
-      (byteLen % 1080 + 16).cast("int").as("src_h"))
 }

@@ -28,7 +28,6 @@ import scala.collection.mutable.ArrayBuffer
   */
 object PdfTextExtractor {
 
-  final case class PdfLine(text: String)
   final case class PdfExtraction(text: String, lines: Seq[String], ok: Boolean)
 
   def isPdf(bytes: Array[Byte]): Boolean =
