@@ -40,7 +40,15 @@ object Serializer {
     sb.toString
   }
 
-  /** Minimal HTML re-serialization for debugging. */
+  /** HTML re-serialization per the spec's fragment-serialization algorithm,
+    * with two fidelity choices: raw-text element content is emitted
+    * VERBATIM (escaping it double-escapes on reparse — the spec serializes
+    * script/style/xmp/iframe/noembed/noframes/plaintext text unchanged, and
+    * content containing its own close tag is inherently unserializable),
+    * and doctype public/system ids are KEPT (the spec drops them, which
+    * loses quirks-mode semantics on reparse; an extraction library values
+    * the roundtrip). Idempotence after one roundtrip is asserted over the
+    * whole conformance corpus in DomSpec. */
   def toHtml(n: HNode): String = {
     val sb = new java.lang.StringBuilder
     def esc(s: String): String =
@@ -48,23 +56,45 @@ object Serializer {
     val voids = Set("area", "base", "basefont", "bgsound", "br", "col", "embed",
       "frame", "hr", "img", "input", "keygen", "link", "meta", "param",
       "source", "track", "wbr")
-    def walk(n: HNode): Unit = n match {
+    val rawText = Set("script", "style", "xmp", "iframe", "noembed",
+      "noframes", "plaintext", "noscript")
+    def walk(n: HNode, raw: Boolean): Unit = n match {
       case e: HElement =>
         sb.append('<').append(e.name)
         e.attrs.toSeq.foreach { case (k, v) =>
-          sb.append(' ').append(k).append("=\"").append(v.replace("\"", "&quot;")).append('"')
+          sb.append(' ').append(k).append("=\"")
+            .append(v.replace("&", "&amp;").replace("\"", "&quot;")).append('"')
         }
         sb.append('>')
         if (!(e.isHtmlNs && voids.contains(e.name))) {
-          e.children.foreach(walk)
+          // spec: pre/textarea/listing whose first text child starts with a
+          // newline get an EXTRA one (the parser drops the first on reparse)
+          if (e.isHtmlNs &&
+              (e.name == "pre" || e.name == "textarea" || e.name == "listing")) {
+            e.children.headOption match {
+              case Some(t: HText) if t.sb.length > 0 && t.sb.charAt(0) == '\n' =>
+                sb.append('\n')
+              case _ => ()
+            }
+          }
+          val childRaw = e.isHtmlNs && rawText.contains(e.name)
+          e.children.foreach(walk(_, childRaw))
           sb.append("</").append(e.name).append('>')
         }
-      case t: HText => sb.append(esc(t.text))
+      case t: HText => sb.append(if (raw) t.text else esc(t.text))
       case c: HComment => sb.append("<!--").append(c.text).append("-->")
-      case d: HDoctype => sb.append("<!DOCTYPE ").append(d.name).append('>')
-      case p: HParent => p.children.foreach(walk)
+      case d: HDoctype =>
+        sb.append("<!DOCTYPE ").append(d.name)
+        if (d.publicId != null && d.publicId.nonEmpty)
+          sb.append(" PUBLIC \"").append(d.publicId).append('"')
+        else if (d.systemId != null && d.systemId.nonEmpty)
+          sb.append(" SYSTEM")
+        if (d.systemId != null && d.systemId.nonEmpty)
+          sb.append(" \"").append(d.systemId).append('"')
+        sb.append('>')
+      case p: HParent => p.children.foreach(walk(_, raw = false))
     }
-    walk(n)
+    walk(n, raw = false)
     sb.toString
   }
 }

@@ -33,4 +33,90 @@ class DomSpec extends AnyFunSuite {
     val names = Dom.elements(doc).map(_.name).toSeq
     assert(names.take(4) == Seq("html", "head", "title", "meta"))
   }
+
+  test("toHtml is roundtrip-idempotent on the corpus (inherent cases exempt)") {
+    // serialize → reparse → serialize must be a fixed point, EXCEPT the two
+    // DOM classes HTML cannot express: raw-text content containing its own
+    // close tag, and parser-manufactured nested same-name formatting
+    // elements (foster-parented <a>-in-<a>, <nobr>-in-<nobr>)
+    val rawText = Set("script", "style", "xmp", "iframe", "noembed",
+      "noframes", "plaintext", "noscript")
+    val selfNesting = Set("a", "nobr")
+    def inherentlyUnserializable(p: HParent): Boolean = {
+      def textOf(e: HElement): String = {
+        val sb = new java.lang.StringBuilder
+        def w(n: HNode): Unit = n match {
+          case t: HText => sb.append(t.sb)
+          case c: HParent => c.children.foreach(w)
+          case _ => ()
+        }
+        e.children.foreach(w); sb.toString
+      }
+      def hasDescendantNamed(e: HElement, name: String): Boolean =
+        e.children.exists {
+          case c: HElement => (c.isHtmlNs && c.name == name) || hasDescendantNamed(c, name)
+          case _ => false
+        }
+      def bad(n: HNode): Boolean = n match {
+        case e: HElement =>
+          (e.isHtmlNs && rawText.contains(e.name) && textOf(e).contains(s"</${e.name}")) ||
+          // plaintext never terminates on reparse: lossy unless nothing
+          // (not even its own close tag) follows it
+          (e.isHtmlNs && e.name == "plaintext") ||
+          (e.isHtmlNs && selfNesting.contains(e.name) && hasDescendantNamed(e, e.name)) ||
+          e.children.exists(bad)
+        case c: HParent => c.children.exists(bad)
+        case _ => false
+      }
+      // third inherent class: quirks mode forced by a MALFORMED doctype
+      // (tokenizer force-quirks flag) — the flag has no serialized form, so
+      // <!DOCTYPE html junk> reparses as no-quirks
+      val forcedQuirks = p match {
+        case d: HDocument if d.quirksMode == "quirks" =>
+          d.children.exists {
+            case dt: HDoctype => dt.name == "html" &&
+              (dt.publicId == null || dt.publicId.isEmpty) &&
+              (dt.systemId == null || dt.systemId.isEmpty)
+            case _ => false
+          }
+        case _ => false
+      }
+      forcedQuirks || bad(p)
+    }
+
+    val dir = java.nio.file.Paths.get("src/test/resources/tree-construction")
+    var checked = 0
+    var exempt = 0
+    java.nio.file.Files.list(dir).forEach { f =>
+      val lines = java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
+      var i = 0
+      while (i < lines.length) {
+        if (lines(i) == "#data") {
+          val data = new StringBuilder
+          i += 1
+          var first = true
+          while (i < lines.length && lines(i) != "#errors") {
+            if (!first) data.append('\n')
+            data.append(lines(i)); first = false; i += 1
+          }
+          var isFragment = false
+          while (i < lines.length && !lines(i).startsWith("#document")) {
+            if (lines(i) == "#document-fragment") isFragment = true
+            i += 1
+          }
+          if (!isFragment) {
+            val d1 = HtmlParser.parseDocument(data.toString).doc
+            if (inherentlyUnserializable(d1)) exempt += 1
+            else {
+              val h1 = Serializer.toHtml(d1)
+              val h2 = Serializer.toHtml(HtmlParser.parseDocument(h1).doc)
+              assert(h1 == h2, s"roundtrip diverged for: ${data.toString.take(100)}")
+              checked += 1
+            }
+          }
+        } else i += 1
+      }
+    }
+    assert(checked > 400, s"expected broad coverage, checked=$checked exempt=$exempt")
+  }
 }
