@@ -112,6 +112,10 @@ object Fuzz {
           if (ex.charCount < 0 || ex.charCount != ex.text.length) {
             fail += 1; report(i, html, s"bad charCount ${ex.charCount}", "", "")
           }
+          // serializer must never throw and must itself be deterministic
+          val s1 = Serializer.toHtml(reused.doc)
+          val s2 = Serializer.toHtml(reused.doc)
+          if (s1 != s2) { fail += 1; report(i, html, "toHtml nondeterminism", "", "") }
         } else {
           val (name, ns) =
             if (ctx.startsWith("svg ")) (ctx.substring(4), Ns.svg)
