@@ -97,6 +97,10 @@ final class TreeBuilder extends TokenHandler {
     doc.appendChild(fragmentRoot)
     stack += new StackEntry("html", Ns.html, fragmentRoot)
     contextEntry = new StackEntry(name, ns, new HElement(name, ns, new AttrList))
+    // spec 13.4 step 12: the form pointer is the nearest form ancestor of
+    // the context (the context itself in this name-only API) — nested
+    // <form> start tags inside a form fragment are then ignored
+    if ((ns eq Ns.html) && name == "form") formElem = contextEntry.node
     resetInsertionMode()
     if (ns eq Ns.html) name match {
       case "title" | "textarea" => tokenizer.seedContentModel(ContentModel.Rcdata, name)
