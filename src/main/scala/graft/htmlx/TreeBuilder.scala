@@ -1418,6 +1418,19 @@ final class TreeBuilder extends TokenHandler {
   }
 
   private def foreignEndTag(name: String): Unit = {
+    // spec: </br> and </p> in foreign content pop out of the foreign
+    // subtree entirely (like breakout start tags) and reprocess as HTML
+    if (name == "br" || name == "p") {
+      err("HTML end tag in foreign content")
+      var c = current
+      while (!((c.ns eq Ns.html) || SpecNames.isMathmlTextIP(c.name, c.ns) ||
+          SpecNames.isHtmlIP(c.node))) {
+        pop(); c = current
+      }
+      flushTableText()
+      endTagMode(mode, name)
+      return
+    }
     if (current.name.toLowerCase != name) err("end tag mismatch in foreign content")
     var i = stack.length - 1
     var done = false
