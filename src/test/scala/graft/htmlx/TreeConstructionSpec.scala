@@ -51,7 +51,7 @@ class TreeConstructionSpec extends AnyFunSuite {
   private val files = Seq("basic.dat", "formatting.dat", "tables.dat",
     "rawtext.dat", "foreign.dat", "quirks.dat", "fragments.dat", "misc.dat",
     "advanced.dat", "aaa-foster.dat", "charref.dat", "modes.dat",
-    "foreign2.dat", "fragments2.dat", "modes2.dat", "aaa2.dat", "corners.dat", "quirks2.dat", "comments.dat", "foreign3.dat", "tables2.dat", "misc3.dat", "scoping.dat", "fragments3.dat", "misc4.dat", "norm.dat", "ws.dat", "misplaced.dat", "select2.dat", "afe-foreign.dat", "frames2.dat", "tricky.dat", "scriptdata.dat", "selfclose.dat", "inbody2.dat", "attredge.dat", "headedge.dat", "captions.dat", "fragments4.dat", "tabletext.dat", "foreign4.dat", "doctype2.dat", "markers.dat", "frames3.dat", "charref2.dat", "cells.dat", "prelike.dat", "bogus.dat", "body2.dat", "framesetok.dat", "aaa3.dat", "noah.dat", "fragforeign.dat", "bodyend.dat", "formdeep.dat", "colgroup2.dat", "ruby2.dat", "pclose2.dat", "eofmodels.dat", "foster2.dat", "headforce.dat", "misc5.dat", "misc6.dat", "foreignend.dat", "foreignstart.dat", "mixed7.dat", "mixed8.dat", "cdata2.dat", "rcdata2.dat", "fragments5.dat", "mixed9.dat", "mixed10.dat", "rawtext3.dat", "afterbody2.dat", "mixed11.dat", "mixed12.dat", "mixed13.dat", "mixed14.dat", "mixed15.dat")
+    "foreign2.dat", "fragments2.dat", "modes2.dat", "aaa2.dat", "corners.dat", "quirks2.dat", "comments.dat", "foreign3.dat", "tables2.dat", "misc3.dat", "scoping.dat", "fragments3.dat", "misc4.dat", "norm.dat", "ws.dat", "misplaced.dat", "select2.dat", "afe-foreign.dat", "frames2.dat", "tricky.dat", "scriptdata.dat", "selfclose.dat", "inbody2.dat", "attredge.dat", "headedge.dat", "captions.dat", "fragments4.dat", "tabletext.dat", "foreign4.dat", "doctype2.dat", "markers.dat", "frames3.dat", "charref2.dat", "cells.dat", "prelike.dat", "bogus.dat", "body2.dat", "framesetok.dat", "aaa3.dat", "noah.dat", "fragforeign.dat", "bodyend.dat", "formdeep.dat", "colgroup2.dat", "ruby2.dat", "pclose2.dat", "eofmodels.dat", "foster2.dat", "headforce.dat", "misc5.dat", "misc6.dat", "foreignend.dat", "foreignstart.dat", "mixed7.dat", "mixed8.dat", "cdata2.dat", "rcdata2.dat", "fragments5.dat", "mixed9.dat", "mixed10.dat", "rawtext3.dat", "afterbody2.dat", "mixed11.dat", "mixed12.dat", "mixed13.dat", "mixed14.dat", "mixed15.dat", "sink.dat")
 
   for (f <- files; c <- loadCases(f)) {
     test(s"${c.file} #${c.idx}: ${c.data.take(50).replace("\n", "\\n")}") {
