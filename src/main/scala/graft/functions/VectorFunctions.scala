@@ -56,4 +56,114 @@ object VectorFunctions {
 
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** argmax-cosine cell assignment: index (0-based) of the centroid in
+    * `cents` (array<array<double>>) with the highest cosine to `vec`, ties
+    * to the LOWEST index (strict `>` update ≡ window (cos desc, cid asc)).
+    *
+    * This replaces round-2's crossJoin(centroids) + row_number() window,
+    * which shuffled |corpus|×nCentroids rows (vector payload included) just
+    * to compute a per-row argmax — the IVF scale-killer VERDICT r02 flagged.
+    * Here the centroid array rides a one-row broadcast and the argmax is a
+    * codegen'd loop: zero exchanges between corpus scan and assignment.
+    *
+    * Math is kept bit-identical to the window formulation (and the DuckDB
+    * oracle): d = dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c))), dots summed
+    * left-to-right, full division per centroid (dividing by the constant
+    * ‖v‖ could round two distinct dots onto a tie the window version — and
+    * the oracle — would still order).
+    */
+  case class ArgmaxCos(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "vec_argmax_cos"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val cents = b.asInstanceOf[ArrayData]
+      val nv = v.numElements()
+      var vv = 0.0
+      var i = 0
+      while (i < nv) { val x = v.getDouble(i); vv += x * x; i += 1 }
+      val vn = math.sqrt(vv)
+      var best = Double.NegativeInfinity
+      var bestIdx = -1
+      var ci = 0
+      val nc = cents.numElements()
+      while (ci < nc) {
+        val c = cents.getArray(ci)
+        val n = math.min(nv, c.numElements())
+        var dotVC = 0.0
+        var cc = 0.0
+        var j = 0
+        while (j < n) {
+          val cj = c.getDouble(j)
+          dotVC += v.getDouble(j) * cj
+          cc += cj * cj
+          j += 1
+        }
+        // centroid self-dot must cover ALL its elements (parity with the
+        // window formulation's norm(cvec) when lengths differ)
+        while (j < c.numElements()) { val cj = c.getDouble(j); cc += cj * cj; j += 1 }
+        val d = dotVC / (vn * math.sqrt(cc))
+        if (d > best) { best = d; bestIdx = ci }
+        ci += 1
+      }
+      bestIdx
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cents) => {
+        val nv = ctx.freshName("nv")
+        val vv = ctx.freshName("vv")
+        val vn = ctx.freshName("vn")
+        val i = ctx.freshName("i")
+        val best = ctx.freshName("best")
+        val bestIdx = ctx.freshName("bestIdx")
+        val ci = ctx.freshName("ci")
+        val nc = ctx.freshName("nc")
+        val c = ctx.freshName("c")
+        val n = ctx.freshName("n")
+        val dotVC = ctx.freshName("dotVC")
+        val cc = ctx.freshName("cc")
+        val j = ctx.freshName("j")
+        val cj = ctx.freshName("cj")
+        val d = ctx.freshName("d")
+        s"""
+           |int $nv = $v.numElements();
+           |double $vv = 0.0;
+           |for (int $i = 0; $i < $nv; $i++) {
+           |  double x = $v.getDouble($i); $vv += x * x;
+           |}
+           |double $vn = java.lang.Math.sqrt($vv);
+           |double $best = java.lang.Double.NEGATIVE_INFINITY;
+           |int $bestIdx = -1;
+           |int $nc = $cents.numElements();
+           |for (int $ci = 0; $ci < $nc; $ci++) {
+           |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cents.getArray($ci);
+           |  int $n = java.lang.Math.min($nv, $c.numElements());
+           |  double $dotVC = 0.0;
+           |  double $cc = 0.0;
+           |  int $j = 0;
+           |  for (; $j < $n; $j++) {
+           |    double $cj = $c.getDouble($j);
+           |    $dotVC += $v.getDouble($j) * $cj;
+           |    $cc += $cj * $cj;
+           |  }
+           |  for (; $j < $c.numElements(); $j++) {
+           |    double $cj = $c.getDouble($j); $cc += $cj * $cj;
+           |  }
+           |  double $d = $dotVC / ($vn * java.lang.Math.sqrt($cc));
+           |  if ($d > $best) { $best = $d; $bestIdx = $ci; }
+           |}
+           |${ev.value} = $bestIdx;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 0-based index of the max-cosine centroid (ties → lowest index). */
+  def vec_argmax_cos(vec: Column, cents: Column): Column =
+    toCol(ArgmaxCos(toExpr(vec), toExpr(cents)))
 }

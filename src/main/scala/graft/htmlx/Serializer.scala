@@ -56,8 +56,14 @@ object Serializer {
     val voids = Set("area", "base", "basefont", "bgsound", "br", "col", "embed",
       "frame", "hr", "img", "input", "keygen", "link", "meta", "param",
       "source", "track", "wbr")
+    // NOT "noscript": this engine parses with scripting disabled, so
+    // noscript children are real parsed markup whose text nodes hold
+    // DECODED text — emitting them verbatim would let "&lt;b&gt;" text
+    // reparse as a <b> element (mXSS-shaped parser/serializer split).
+    // The spec's verbatim rule for noscript applies only when scripting
+    // is enabled and its content was tokenized as raw text.
     val rawText = Set("script", "style", "xmp", "iframe", "noembed",
-      "noframes", "plaintext", "noscript")
+      "noframes", "plaintext")
     def walk(n: HNode, raw: Boolean): Unit = n match {
       case e: HElement =>
         sb.append('<').append(e.name)

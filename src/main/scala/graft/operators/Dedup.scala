@@ -24,14 +24,31 @@ object Dedup {
     * merge needs two different texts agreeing on both digests AND length;
     * for 10^12 docs the expected number of colliding pairs is
     * ~10^24 / 2^128 ≈ 3·10^-15 — strictly better than the durability of the
-    * storage under it. */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(
-        xxhash64(col(textCol)).as("h1"),
-        xxhash64(col(textCol), lit(1)).as("h2"),
-        length(col(textCol)).as("len"))
+    * storage under it.
+    *
+    * Adversarial caveat: that math assumes RANDOM collisions. xxhash64 is
+    * not cryptographic, and this pipeline ingests untrusted web content — an
+    * adversary who derives the seeds could craft two distinct documents
+    * agreeing on both digests and length, silently merging them. For hostile
+    * corpora set `guardBytes` > 0: the group key additionally carries the
+    * first/last `guardBytes` characters, so a forged collision must also
+    * match both text edges verbatim (still O(guardBytes) shuffle per row,
+    * never the full text; full-text certainty requires a second
+    * compare-texts-within-group pass, which re-shuffles the corpus). */
+  def exact(docs: DataFrame, idCol: String, textCol: String,
+            guardBytes: Int = 0): DataFrame = {
+    val base = Seq(
+      xxhash64(col(textCol)).as("h1"),
+      xxhash64(col(textCol), lit(1)).as("h2"),
+      length(col(textCol)).as("len"))
+    val guards =
+      if (guardBytes <= 0) Nil
+      else Seq(substring(col(textCol), 1, guardBytes).as("head"),
+        substring(col(textCol), -guardBytes, guardBytes).as("tail"))
+    docs.groupBy((base ++ guards): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
       .select(col(idCol), col("copies"))
+  }
 
   /** Distinct k-word shingles as 62-bit portable hashes, first-occurrence
     * order (native kernel; dialect-exact, DuckDB oracles recompute it). */
@@ -134,16 +151,32 @@ object Dedup {
   def simhashAll(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
 
-  /** SimHash near-dup candidates: split the 62-bit hash into 4 16-bit keys;
-    * docs sharing any key are candidates (guarantees recall for hamming
-    * distance ≤ 3 by pigeonhole); verify with exact hamming distance.
-    * Oversized key buckets are capped like the MinHash path. */
+  /** SimHash near-dup candidates: split the 62-bit hash into
+    * `maxHamming + 1` disjoint key segments; docs sharing any segment key
+    * are candidates. Pigeonhole gives FULL recall for hamming ≤ maxHamming:
+    * ≤ maxHamming differing bits cannot touch all maxHamming + 1 segments,
+    * so some segment key matches (round 2 hardcoded 4×16-bit keys, which
+    * only guarantees hamming ≤ 3 — pairs differing in 4–8 bits spread over
+    * all four segments were silently missed; ADVICE r02). Segment widths
+    * are balanced: the first 62 mod seg segments get ⌊62/seg⌋+1 bits.
+    * Verify with exact hamming distance; oversized key buckets are capped
+    * like the MinHash path (narrower segments ⇒ bigger buckets — the recall
+    * guarantee degrades to best-effort exactly where the cap binds). */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val seg = maxHamming + 1
+    require(seg >= 2 && seg <= 62, s"maxHamming must be in [1, 61], got $maxHamming")
+    val w = 62 / seg
+    val r = 62 % seg
+    val keyExprs = (0 until seg).map { k =>
+      val off = k * w + math.min(k, r)
+      val width = w + (if (k < r) 1 else 0)
+      call_function("shiftright", col("sim"), lit(off))
+        .bitwiseAND(lit((1L << width) - 1))
+    }
     val withSim = simhashAll(docs, idCol, textCol)
     val keyed = withSim.select(col("id"), col("sim"),
-        posexplode(transform(sequence(lit(0), lit(3)), k =>
-          call_function("shiftright", col("sim"), k * 16).bitwiseAND(0xFFFFL))))
+        posexplode(array(keyExprs: _*)))
       .withColumnRenamed("pos", "k").withColumnRenamed("col", "key")
     val capped = keyed
       .withColumn("bn", row_number().over(

@@ -84,13 +84,16 @@ object Multimodal {
     * counts, capped at `maxFrames` — the sampling stage a video pipeline
     * runs before feature extraction. Pure column math over the decode
     * stage's output: one narrow pass, explode only the selected indices
-    * (never a row per source frame). */
+    * (never a row per source frame). Rows with frames ≤ 0 (a real decoder
+    * can report 0 for a corrupt/empty blob; `sequence` would throw on the
+    * illegal boundary and fail the whole job) produce no samples — the
+    * `when` yields NULL and posexplode drops NULL arrays. */
   def frameSample(features: DataFrame, idCol: String, framesCol: String,
                   stride: Int = 4, maxFrames: Int = 8): DataFrame =
     features.select(col(idCol).as("id"), col(framesCol).as("frames"))
       .select(col("id"), col("frames"),
-        posexplode(slice(sequence(lit(0), col("frames") - 1, lit(stride)),
-          1, maxFrames)))
+        posexplode(when(col("frames") > 0,
+          slice(sequence(lit(0), col("frames") - 1, lit(stride)), 1, maxFrames))))
       .select(col("id"), col("pos").as("sample_idx"), col("col").as("frame_idx"))
 
   /** Aspect-preserving resize plan to fit a `target`×`target` box (never

@@ -59,6 +59,51 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), "typed parse stage missing")
   }
 
+  test("parse pipelines into the write's result stage (no exchange after it)") {
+    // Metrics-accumulator consistency is load-bearing on this shape
+    // (ExtractPipeline.BucketMetricsAcc doc): parse must sit in the WRITE
+    // job's result stage, i.e. the only exchange is the bucket repartition
+    // BELOW the typed stage. The plan tree prints root-first, so
+    // MapPartitions appearing before Exchange means the exchange feeds it.
+    import spark.implicits._
+    val extracted = spark.read.parquet(s"$tmp/pages")
+      .select($"url", $"html")
+      .withColumn("bucket", ExtractPipeline.bucketCol($"url", 16, 8, 0))
+      .repartition(16, $"bucket")
+      .select($"bucket", $"url", $"html")
+      .as[(Int, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val engine = new graft.htmlx.HtmlParser.Engine
+        rows.map { case (b, url, html) => (b, ExtractPipeline.parseOne(url, html, engine)) }
+      }
+      .select($"_2.*", $"_1".as("bucket"))
+    val plan = planOf(extracted)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly the bucket shuffle, found $exchanges:\n$plan")
+    val mpIdx = plan.indexOf("MapPartitions")
+    val exIdx = plan.indexOf("Exchange")
+    assert(mpIdx >= 0 && exIdx >= 0 && mpIdx < exIdx,
+      s"exchange must be BELOW the parse stage (parse in the result stage):\n$plan")
+  }
+
+  test("IVF cell assignment never shuffles the corpus (VERDICT r02 #2)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("nid"),
+        transform(col("embedding"), _.cast("double")).as("nvec"))
+    val cents = emb.filter($"nid" < 16)
+      .select($"nid".as("cid"), $"nvec".as("cvec"))
+    val assigned = graft.operators.Similarity.assignCells(emb, cents)
+    val plan = planOf(assigned)
+    assert(plan.contains("vec_argmax_cos"), s"argmax kernel missing:\n$plan")
+    assert(!plan.contains("Window"),
+      s"r2's window-argmax is back — corpus-wide shuffle:\n$plan")
+    assert(!plan.contains("hashpartitioning(nid"),
+      s"corpus rows are being hash-shuffled for assignment:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid array should ride a broadcast:\n$plan")
+  }
+
   test("q3 join broadcasts the filtered customer dimension") {
     val df = graft.SparkEntry.queriesForPlanCheck("q3_top10")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)
