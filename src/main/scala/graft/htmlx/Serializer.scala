@@ -90,13 +90,26 @@ object Serializer {
       case t: HText => sb.append(if (raw) t.text else esc(t.text))
       case c: HComment => sb.append("<!--").append(c.text).append("-->")
       case d: HDoctype =>
+        // ids can contain one quote kind (the tokenizer allows `"` inside a
+        // single-quoted id and vice versa) — pick the other quote; an id
+        // containing BOTH is unserializable, so fall back to the spec's
+        // bare-name serialization (ids dropped) rather than emit a doctype
+        // that reparses differently (caught by the h5-doctype01 corpus)
+        def quoted(id: String): Option[String] =
+          if (!id.contains('"')) Some("\"" + id + "\"")
+          else if (!id.contains('\'')) Some("'" + id + "'")
+          else None
+        val pub = Option(d.publicId).filter(_.nonEmpty)
+        val sys = Option(d.systemId).filter(_.nonEmpty)
+        val legacy: Option[String] = (pub, sys) match {
+          case (Some(p), Some(s)) =>
+            for (qp <- quoted(p); qs <- quoted(s)) yield s" PUBLIC $qp $qs"
+          case (Some(p), None) => quoted(p).map(qp => s" PUBLIC $qp")
+          case (None, Some(s)) => quoted(s).map(qs => s" SYSTEM $qs")
+          case (None, None) => Some("")
+        }
         sb.append("<!DOCTYPE ").append(d.name)
-        if (d.publicId != null && d.publicId.nonEmpty)
-          sb.append(" PUBLIC \"").append(d.publicId).append('"')
-        else if (d.systemId != null && d.systemId.nonEmpty)
-          sb.append(" SYSTEM")
-        if (d.systemId != null && d.systemId.nonEmpty)
-          sb.append(" \"").append(d.systemId).append('"')
+        legacy.foreach(sb.append(_))
         sb.append('>')
       case p: HParent => p.children.foreach(walk(_, raw = false))
     }
