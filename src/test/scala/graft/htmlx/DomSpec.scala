@@ -41,7 +41,11 @@ class DomSpec extends AnyFunSuite {
     // elements (foster-parented <a>-in-<a>, <nobr>-in-<nobr>)
     val rawText = Set("script", "style", "xmp", "iframe", "noembed",
       "noframes", "plaintext", "noscript")
-    val selfNesting = Set("a", "nobr")
+    // a/nobr: reparse re-runs the implied-close + AAA reshuffle; form: a
+    // nested form only arises via the </form> pointer-reset trick
+    // (h5-tests6.dat) — reparsing any serialization ignores the inner <form>
+    // because the outer form pointer is set, so the DOM is unserializable
+    val selfNesting = Set("a", "nobr", "form")
     def inherentlyUnserializable(p: HParent): Boolean = {
       def textOf(e: HElement): String = {
         val sb = new java.lang.StringBuilder

@@ -62,7 +62,10 @@ class TreeConstructionSpec extends AnyFunSuite {
     "h5-tables01.dat", "h5-comments01.dat", "h5-tests8.dat", "h5-tests22.dat",
     "h5-tricky01.dat", "h5-doctype01.dat", "h5-tests2a.dat", "h5-tests9.dat",
     "h5-tests10.dat", "h5-tests21.dat", "h5-noscript01.dat", "h5-ruby.dat",
-    "h5-webkit01.dat")
+    "h5-webkit01.dat", "h5-tests5.dat", "h5-tests6.dat", "h5-tests7.dat",
+    "h5-tests12.dat", "h5-tests20.dat", "h5-innerhtml.dat",
+    "h5-scriptdata01.dat", "h5-html5test.dat", "h5-tests23.dat",
+    "h5-tests26.dat", "h5-menuitem.dat", "h5-ptunsafe.dat", "h5-tests24.dat")
 
   for (f <- files; c <- loadCases(f)) {
     test(s"${c.file} #${c.idx}: ${c.data.take(50).replace("\n", "\\n")}") {
