@@ -6,10 +6,26 @@ package graft.htmlx
   */
 object Serializer {
 
+  /** Spec "adjust foreign attributes" rendered per the html5lib convention:
+    * the DOM keeps the qualified name verbatim (TreeBuilder.adjustAttrs
+    * policy), and the conformance format displays the namespace-adjusted
+    * form `prefix local` for the 11 fixed names on foreign elements. */
+  private val foreignAttrDisplay = Map(
+    "xlink:actuate" -> "xlink actuate", "xlink:arcrole" -> "xlink arcrole",
+    "xlink:href" -> "xlink href", "xlink:role" -> "xlink role",
+    "xlink:show" -> "xlink show", "xlink:title" -> "xlink title",
+    "xlink:type" -> "xlink type", "xml:lang" -> "xml lang",
+    "xml:space" -> "xml space", "xmlns:xlink" -> "xmlns xlink")
+
   def html5libFormat(root: HParent): String = {
     val sb = new java.lang.StringBuilder
-    def attrsSorted(e: HElement): Seq[(String, String)] =
-      e.attrs.toSeq.sortBy(_._1)
+    def attrsSorted(e: HElement): Seq[(String, String)] = {
+      val raw = e.attrs.toSeq
+      val shown =
+        if (e.isHtmlNs) raw
+        else raw.map { case (k, v) => (foreignAttrDisplay.getOrElse(k, k), v) }
+      shown.sortBy(_._1)
+    }
     def prefix(ns: String): String =
       if (ns eq Ns.html) "" else if (ns eq Ns.svg) "svg " else if (ns eq Ns.mathml) "math " else ""
     def walk(n: HNode, depth: Int): Unit = {

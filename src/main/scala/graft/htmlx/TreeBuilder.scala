@@ -856,11 +856,12 @@ final class TreeBuilder extends TokenHandler {
   }
 
   /** Spec "adjust SVG/MathML attributes" (casing, definitionURL). The
-    * "adjust foreign attributes" step is an identity here by policy: the
-    * spec only adds namespace qualification to xlink:*&#47;xml:*&#47;xmlns*
-    * names, and this DOM keeps the qualified name verbatim as the plain
-    * attribute name (tokenizer already lowercased it; the spec's adjusted
-    * local names are all lowercase), so there is nothing to rewrite. */
+    * "adjust foreign attributes" step keeps the qualified name verbatim as
+    * the plain attribute name by policy (this DOM has no attr namespaces;
+    * the tokenizer already lowercased it and the spec's adjusted local
+    * names are all lowercase, so the name needs no rewrite); the html5lib
+    * conformance serializer renders the namespace-adjusted `prefix local`
+    * display form for those names (Serializer.foreignAttrDisplay). */
   private def adjustAttrs(attrs: AttrList, svg: Boolean): AttrList = {
     val out = new AttrList
     var i = 0

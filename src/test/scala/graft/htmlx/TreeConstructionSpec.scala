@@ -65,7 +65,10 @@ class TreeConstructionSpec extends AnyFunSuite {
     "h5-webkit01.dat", "h5-tests5.dat", "h5-tests6.dat", "h5-tests7.dat",
     "h5-tests12.dat", "h5-tests20.dat", "h5-innerhtml.dat",
     "h5-scriptdata01.dat", "h5-html5test.dat", "h5-tests23.dat",
-    "h5-tests26.dat", "h5-menuitem.dat", "h5-ptunsafe.dat", "h5-tests24.dat")
+    "h5-tests26.dat", "h5-menuitem.dat", "h5-ptunsafe.dat", "h5-tests24.dat",
+    "h5-entities02.dat", "h5-tests19.dat", "h5-tests14.dat", "h5-webkit02.dat",
+    "h5-foreignfrag.dat", "h5-tests11.dat", "h5-svgtags.dat", "h5-tests17.dat",
+    "h5-tests18.dat")
 
   for (f <- files; c <- loadCases(f)) {
     test(s"${c.file} #${c.idx}: ${c.data.take(50).replace("\n", "\\n")}") {
