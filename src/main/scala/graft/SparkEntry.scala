@@ -82,13 +82,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "extract_links" -> ((s, dir) => {
-      // web-graph edge list: every <a href> per page in DOM order. The
-      // oracle reconstructs the deterministic synthetic link structure
-      // (href side); anchor text is covered by unit tests.
+      // web-graph edge list: every <a href> plus its decoded anchor text per
+      // page in DOM order. The oracle reconstructs the deterministic
+      // synthetic link structure on BOTH sides of each edge: hrefs are a
+      // pure function of doc_id, and anchor strings are either fixed
+      // boilerplate or (for the %23 cite link) a word of documents.text
+      // whose index the oracle recomputes, including the &nbsp;-merge shift.
       pages(s, dir).select(
           regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
           posexplode(graft.functions.HtmlFunctions.extract_links(decode(col("html"), "UTF-8"))))
-        .select(col("doc_id"), col("pos").as("link_idx"), col("col.href").as("href"))
+        .select(col("doc_id"), col("pos").as("link_idx"),
+          col("col.href").as("href"), col("col.text").as("anchor"))
         .orderBy("doc_id", "link_idx")
     }),
     "host_stats" -> ((s, dir) => {
@@ -339,20 +343,34 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // web-graph edges: the synthetic page's link structure is a pure
     // function of doc_id (nav sections, fostered table link on %9, article
-    // cite on %23 when the post-transform word count allows, aside+footer)
+    // cite on %23 when the post-transform word count allows, aside+footer).
+    // Anchors: fixed strings except the cite link, whose anchor is the word
+    // at 0-based token index 5 AFTER the %5 &nbsp; transform merged tokens
+    // 0 and 1 (so original word 6 when doc_id % 5 = 0, else word 5); the %3
+    // entity encoding decodes back to the original word in the DOM.
     "extract_links" ->
-      """WITH d AS (SELECT doc_id,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
         |        len(string_split(text, ' ')) - CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS ew
         |      FROM documents),
         |l AS (SELECT doc_id,
-        |        list_transform(range(4 + CAST(doc_id % 3 AS INT)), i -> '/section/' || i)
-        |        || CASE WHEN doc_id % 9 = 0 THEN ['/t'] ELSE CAST([] AS VARCHAR[]) END
-        |        || CASE WHEN doc_id % 23 = 0 AND ew >= 7 THEN ['/cite'] ELSE CAST([] AS VARCHAR[]) END
-        |        || ['/r/1', '/r/2', '/privacy', '/terms'] AS hrefs
+        |        list_transform(range(4 + CAST(doc_id % 3 AS INT)),
+        |          i -> {'href': '/section/' || i, 'anchor': 'section ' || i})
+        |        || CASE WHEN doc_id % 9 = 0
+        |             THEN [{'href': '/t', 'anchor': 'table link'}]
+        |             ELSE CAST([] AS STRUCT(href VARCHAR, anchor VARCHAR)[]) END
+        |        || CASE WHEN doc_id % 23 = 0 AND ew >= 7
+        |             THEN [{'href': '/cite',
+        |                    'anchor': w[CASE WHEN doc_id % 5 = 0 THEN 7 ELSE 6 END]}]
+        |             ELSE CAST([] AS STRUCT(href VARCHAR, anchor VARCHAR)[]) END
+        |        || [{'href': '/r/1', 'anchor': 'related one'},
+        |            {'href': '/r/2', 'anchor': 'related two'},
+        |            {'href': '/privacy', 'anchor': 'privacy'},
+        |            {'href': '/terms', 'anchor': 'terms'}] AS links
         |      FROM d),
-        |x AS (SELECT doc_id, unnest(list_transform(range(len(hrefs)),
-        |        i -> {'link_idx': CAST(i AS INT), 'href': hrefs[i+1]})) AS u FROM l)
-        |SELECT doc_id, u.link_idx AS link_idx, u.href AS href FROM x
+        |x AS (SELECT doc_id, unnest(list_transform(range(len(links)),
+        |        i -> {'link_idx': CAST(i AS INT),
+        |              'href': links[i+1].href, 'anchor': links[i+1].anchor})) AS u FROM l)
+        |SELECT doc_id, u.link_idx AS link_idx, u.href AS href, u.anchor AS anchor FROM x
         |ORDER BY doc_id, link_idx""".stripMargin,
     "host_stats" ->
       """SELECT CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
