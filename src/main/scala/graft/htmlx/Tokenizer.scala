@@ -250,7 +250,12 @@ final class Tokenizer(handler: TokenHandler) {
     i == tag.length && q < n && (isWs(s.charAt(q)) || s.charAt(q) == '/' || s.charAt(q) == '>')
   }
 
-  /** Is `</expectedEndTag` followed by ws, '/', or '>' at position `at`? */
+  /** Is `</expectedEndTag` followed by ws, '/', or '>' at position `at`?
+    * EOF right after the complete name is NOT a match: the end-tag-name
+    * state has no EOF entry, so EOF falls to "anything else" — emit "</" +
+    * temp buffer as text and reconsume (then EOF in the data-like state).
+    * The non-match routes the caller to the plain emitChar('<') path, which
+    * replays the same characters as text. */
   private def matchesExpectedEndTag(at: Int): Boolean = {
     if (expectedEndTag == null) return false
     var q = at + 1
@@ -262,7 +267,7 @@ final class Tokenizer(handler: TokenHandler) {
       if (q >= n || lower(s.charAt(q)) != tag.charAt(i)) return false
       q += 1; i += 1
     }
-    q >= n || isWs(s.charAt(q)) || s.charAt(q) == '/' || s.charAt(q) == '>'
+    q < n && (isWs(s.charAt(q)) || s.charAt(q) == '/' || s.charAt(q) == '>')
   }
 
   /** Consume `</name ...>`, emit the end tag, return to data. */

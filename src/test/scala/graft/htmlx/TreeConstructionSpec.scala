@@ -68,7 +68,12 @@ class TreeConstructionSpec extends AnyFunSuite {
     "h5-tests26.dat", "h5-menuitem.dat", "h5-ptunsafe.dat", "h5-tests24.dat",
     "h5-entities02.dat", "h5-tests19.dat", "h5-tests14.dat", "h5-webkit02.dat",
     "h5-foreignfrag.dat", "h5-tests11.dat", "h5-svgtags.dat", "h5-tests17.dat",
-    "h5-tests18.dat")
+    "h5-tests18.dat",
+    // h5-gen-*.dat / h5-scriptstates.dat: spec-oracle generated batteries
+    // (tools/gen_*.py) — expected trees derived from an independent Python
+    // implementation of the spec rule, NOT from the engine; disagreements
+    // are real findings in one of the two implementations.
+    "h5-scriptstates.dat")
 
   for (f <- files; c <- loadCases(f)) {
     test(s"${c.file} #${c.idx}: ${c.data.take(50).replace("\n", "\\n")}") {
