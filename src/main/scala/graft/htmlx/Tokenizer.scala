@@ -534,6 +534,15 @@ final class Tokenizer(handler: TokenHandler) {
             while (i < dashes - 2) { sb.append('-'); i += 1 }
             p = q + 2
             done = true
+          } else if (q + 1 >= n && q < n && s.charAt(q) == '!' && dashes >= 2) {
+            // EOF right after "--…-!": comment-end-bang state at EOF emits
+            // the data as-is — the would-be "--!" is dropped, extra dashes
+            // beyond the first two were already folded into the data
+            err("eof-in-comment")
+            var i = 0
+            while (i < dashes - 2) { sb.append('-'); i += 1 }
+            p = n
+            handler.comment(sb.toString); handlerEofAfter(); return
           } else if (q >= n) {
             // EOF with pending close-dashes: the comment-end(-dash) states
             // only fold dashes into the data when a non-close char follows;
