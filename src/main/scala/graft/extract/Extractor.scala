@@ -12,7 +12,8 @@ final case class TextBlock(
     words: Int,
     linkedWords: Int,
     path: String,
-    isHeading: Boolean) {
+    isHeading: Boolean,
+    penalized: Boolean = false) {
   def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
   /** Text density: words per 80-char wrapped line (WSDM 2010 §3.2). */
   def textDensity: Double = {
@@ -69,6 +70,37 @@ object Extractor {
 
   private val headings: Set[String] = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
+  /** Negative class/id tokens (readability/arc90 "unlikely candidates",
+    * public heuristic): a block inside an element whose class or id contains
+    * one of these word-tokens is boilerplate unless it is unmistakably long
+    * prose (see classify). Token match is on [-_ ] word boundaries so "ad"
+    * hits "ad-banner"/"inline_ad" but not "shadow" or "road". */
+  private val negativeTokens: Set[String] = Set(
+    "comment", "comments", "disqus", "sidebar", "foot", "footer", "advert",
+    "advertisement", "ad", "ads", "adslot", "sponsor", "sponsored", "promo",
+    "banner", "social", "share", "sharing", "widget", "breadcrumb",
+    "breadcrumbs", "crumb", "crumbs", "pagination", "pager", "masthead",
+    "menu", "nav", "navigation", "signup", "newsletter", "subscribe",
+    "paywall", "related", "recommend", "recommended", "popup", "cookie",
+    "consent", "outbrain", "taboola", "shoutbox", "community")
+
+  /** Does a class/id attribute value contain a negative token? */
+  private[extract] def hasNegativeToken(v: String): Boolean = {
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      // token start
+      while (i < n && !isTokenChar(v.charAt(i))) i += 1
+      val s = i
+      while (i < n && isTokenChar(v.charAt(i))) i += 1
+      if (i > s && i - s <= 13 &&
+          negativeTokens.contains(v.substring(s, i).toLowerCase)) return true
+    }
+    false
+  }
+  private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
   // one hash lookup per element instead of three Set.contains
   private final val FlagIgnored = 1
   private final val FlagBlock = 2
@@ -121,6 +153,7 @@ object Extractor {
     var curLinked = 0
     var curPath = "body"
     var curHeading = false
+    var curPenalized = false
     var anchorDepth = 0
 
     def flush(): Unit = {
@@ -144,7 +177,8 @@ object Extractor {
       while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
       cur.setLength(0)
       if (sb.length > 0) {
-        out += TextBlock(sb.toString, words, math.min(curLinked, words), curPath, curHeading)
+        out += TextBlock(sb.toString, words, math.min(curLinked, words), curPath,
+          curHeading, curPenalized)
       }
       curLinked = 0
       curHeading = false
@@ -152,14 +186,14 @@ object Extractor {
 
     // element index among element-children, computed during iteration
     // (avoids an O(children) scan per block element)
-    def walkChildren(p: HParent, path: String, heading: Boolean): Unit = {
+    def walkChildren(p: HParent, path: String, heading: Boolean, pen: Boolean): Unit = {
       var elemIdx = 0
       val cs = p.children
       var i = 0
       while (i < cs.length) {
         cs(i) match {
           case e: HElement =>
-            walk(e, elemIdx, path, heading)
+            walk(e, elemIdx, path, heading, pen)
             elemIdx += 1
           case t: HText =>
             cur.append(t.sb)
@@ -170,7 +204,7 @@ object Extractor {
       }
     }
 
-    def walk(e: HElement, elemIdx: Int, path: String, heading: Boolean): Unit = {
+    def walk(e: HElement, elemIdx: Int, path: String, heading: Boolean, pen: Boolean): Unit = {
       if (!(e.ns eq Ns.html)) () // svg/math subtree: skip text
       else {
         val fRef = nameFlags.get(e.name)
@@ -179,15 +213,25 @@ object Extractor {
         val isBlock = (f & FlagBlock) != 0
         val childPath = if (isBlock) s"$path/${e.name}[$elemIdx]" else path
         val childHeading = heading || (f & FlagHeading) != 0
-        if (isBlock) { flush(); curPath = childPath; curHeading = childHeading }
+        // negative class/id hint is sticky down the subtree; the element
+        // name itself can carry it too (<nav>/<aside>/<footer> are the
+        // explicit form of the same signal). Headings are exempt from the
+        // attribute check: ids on headings are semantic section anchors
+        // ("bogus-comment-state"), not boilerplate markers.
+        val childPen = pen || e.name == "nav" || e.name == "aside" ||
+          e.name == "footer" ||
+          ((f & FlagHeading) == 0 &&
+            (e.attr("class").exists(hasNegativeToken) ||
+             e.attr("id").exists(hasNegativeToken)))
+        if (isBlock) { flush(); curPath = childPath; curHeading = childHeading; curPenalized = childPen }
         if (e.name == "a") {
           anchorDepth += 1
-          walkChildren(e, childPath, childHeading)
+          walkChildren(e, childPath, childHeading, childPen)
           anchorDepth -= 1
         } else {
-          walkChildren(e, childPath, childHeading)
+          walkChildren(e, childPath, childHeading, childPen)
         }
-        if (isBlock) { flush(); curPath = path; curHeading = heading }
+        if (isBlock) { flush(); curPath = path; curHeading = heading; curPenalized = pen }
       }
     }
 
@@ -195,9 +239,9 @@ object Extractor {
     findBody(root) match {
       case Some(b) =>
         curPath = "body"
-        walkChildren(b, "body", heading = false)
+        walkChildren(b, "body", heading = false, pen = false)
       case None =>
-        walkChildren(root, "", heading = false)
+        walkChildren(root, "", heading = false, pen = false)
     }
     flush()
     out.toVector
@@ -300,7 +344,11 @@ object Extractor {
       val prev = if (i > 0) b(i - 1) else empty
       val next = if (i + 1 < n) b(i + 1) else empty
       content(i) =
-        if (curr.linkDensity > 0.333333) false
+        if (curr.penalized)
+          // negative class/id (or nav/aside/footer) subtree: boilerplate
+          // unless unmistakably long low-link prose (class-name misuse)
+          curr.words >= 40 && curr.linkDensity <= 0.1
+        else if (curr.linkDensity > 0.333333) false
         else if (curr.words >= 25 && curr.linkDensity <= 0.1) true // standalone prose
         else if (prev.linkDensity <= 0.555556) {
           curr.words > 16 || next.words > 15 || prev.words > 4
@@ -309,18 +357,19 @@ object Extractor {
         }
       i += 1
     }
-    // headings announce what follows: keep a heading iff the first
-    // non-heading block within the next three is content.
+    // headings announce what follows: keep a heading iff ANY non-heading
+    // block within the next three is content (metadata lines — byline,
+    // date — commonly sit between a headline and its first paragraph, so
+    // "first non-heading" would orphan real headlines).
     i = 0
     while (i < n) {
-      if (b(i).isHeading) {
+      if (b(i).isHeading && !b(i).penalized) {
         var j = i + 1
         var verdict = false
         var looked = 0
-        var done = false
-        while (!done && j < n && looked < 3) {
-          if (!b(j).isHeading) { verdict = content(j); done = true }
-          j += 1; looked += 1
+        while (j < n && looked < 3) {
+          if (!b(j).isHeading && content(j)) { verdict = true; looked = 3 }
+          else { j += 1; looked += 1 }
         }
         content(i) = verdict && b(i).linkDensity <= 0.333333
       }
