@@ -84,22 +84,61 @@ object Extractor {
     "paywall", "related", "recommend", "recommended", "popup", "cookie",
     "consent", "outbrain", "taboola", "shoutbox", "community")
 
+  // Sorted FNV-1a hashes of the tokens: the per-element check runs on the
+  // extraction hot path (every element with attributes), so the token scan
+  // is allocation-free — hash the lowercased token chars in place and
+  // binary-search the 40-entry array. A 64-bit hash collision would
+  // penalize one block spuriously (quality, not correctness); odds are
+  // ~40·2⁻⁶⁴ per token.
+  private val negativeHashes: Array[Long] = {
+    val hs = negativeTokens.toArray.map { s =>
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
   /** Does a class/id attribute value contain a negative token? */
   private[extract] def hasNegativeToken(v: String): Boolean = {
     var i = 0
     val n = v.length
     while (i < n) {
-      // token start
       while (i < n && !isTokenChar(v.charAt(i))) i += 1
       val s = i
-      while (i < n && isTokenChar(v.charAt(i))) i += 1
-      if (i > s && i - s <= 13 &&
-          negativeTokens.contains(v.substring(s, i).toLowerCase)) return true
+      var h = 0xcbf29ce484222325L
+      while (i < n && isTokenChar(v.charAt(i))) {
+        var c = v.charAt(i)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        h ^= c
+        h *= 0x100000001b3L
+        i += 1
+      }
+      val len = i - s
+      if (len >= 2 && len <= 13 &&
+          java.util.Arrays.binarySearch(negativeHashes, h) >= 0) return true
     }
     false
   }
   private def isTokenChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** Hot-path form of the class/id negative check: direct AttrList scan,
+    * no Option allocation. */
+  private def attrsPenalized(e: HElement): Boolean = {
+    val as = e.attrs
+    val n = as.size
+    var i = 0
+    while (i < n) {
+      val name = as.name(i)
+      if ((name == "class" || name == "id") && hasNegativeToken(as.value(i)))
+        return true
+      i += 1
+    }
+    false
+  }
 
   // one hash lookup per element instead of three Set.contains
   private final val FlagIgnored = 1
@@ -220,9 +259,7 @@ object Extractor {
         // ("bogus-comment-state"), not boilerplate markers.
         val childPen = pen || e.name == "nav" || e.name == "aside" ||
           e.name == "footer" ||
-          ((f & FlagHeading) == 0 &&
-            (e.attr("class").exists(hasNegativeToken) ||
-             e.attr("id").exists(hasNegativeToken)))
+          ((f & FlagHeading) == 0 && e.attrs.size > 0 && attrsPenalized(e))
         if (isBlock) { flush(); curPath = childPath; curHeading = childHeading; curPenalized = childPen }
         if (e.name == "a") {
           anchorDepth += 1
