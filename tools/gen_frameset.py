@@ -32,10 +32,11 @@ def main():
     doc("<!DOCTYPE html><frameset><noframes>fallback <b>text</b></noframes></frameset>",
         "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <frameset>",
         "|     <noframes>", '|       "fallback <b>text</b>"')
-    # non-whitespace chars in frameset are dropped; whitespace kept
+    # non-whitespace chars in frameset are dropped; the interior space
+    # of "drop me" IS whitespace and is kept
     doc("<!DOCTYPE html><frameset>drop me<frame></frameset>",
         "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <frameset>",
-        "|     <frame>")
+        '|     " "', "|     <frame>")
     doc("<!DOCTYPE html><frameset> <frame> </frameset>",
         "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <frameset>",
         '|     " "', "|     <frame>", '|     " "')
@@ -51,10 +52,12 @@ def main():
     doc("<!DOCTYPE html><body>kept text here<frameset><frame></frameset>",
         "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <body>",
         '|     "kept text here"')
-    # whitespace-only body does NOT cancel frameset
+    # an EXPLICIT <body> start tag sets frameset-ok to "not ok" (the
+    # after-head body rule), so even a whitespace-only explicit body
+    # cancels the frameset; the frame and end tag are stray
     doc("<!DOCTYPE html><body> <frameset><frame></frameset>",
-        "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <frameset>",
-        "|     <frame>")
+        "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <body>",
+        '|     " "')
     # EOF inside frameset: tree as-built
     doc("<!DOCTYPE html><frameset><frameset><frame>",
         "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <frameset>",

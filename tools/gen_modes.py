@@ -30,9 +30,10 @@ def main():
     doc_case("<!DOCTYPE html>x<!--t-->",
               "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <body>",
               '|     "x"', "|     <!-- t -->")
+    # after-body comments are inserted as the HTML element's last child
     doc_case("<!DOCTYPE html><body>x</body><!--after-->",
               "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <body>",
-              '|     "x"', "| <!-- after -->")
+              '|     "x"', "|   <!-- after -->")
     doc_case("<!DOCTYPE html><body>x</body></html><!--end-->",
               "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <body>",
               '|     "x"', "| <!-- end -->")
@@ -66,10 +67,11 @@ def main():
               "| <!DOCTYPE html>", "| <html>", "|   <head>",
               "|     <bgsound>", '|       src="s"', "|     <basefont>",
               '|       size="1"', "|   <body>", '|     "x"')
-    # whitespace between </head> and <body> vanishes; text forces body
+    # whitespace between </head> and <body> is INSERTED into <html>
+    # (after-head whitespace rule); only text forces the body open
     doc_case("<!DOCTYPE html><head></head> <body>x",
-              "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <body>",
-              '|     "x"')
+              "| <!DOCTYPE html>", "| <html>", "|   <head>", '|   " "',
+              "|   <body>", '|     "x"')
     doc_case("<!DOCTYPE html><head></head>t<body>x",
               "| <!DOCTYPE html>", "| <html>", "|   <head>", "|   <body>",
               '|     "tx"')
