@@ -45,6 +45,51 @@ class ExtractionSpec extends AnyFunSuite {
     assert(a.text == b.text && a.spans.toSeq == b.spans.toSeq)
   }
 
+  test("negative class/id token matching") {
+    assert(Extractor.hasNegativeToken("ad-banner"))
+    assert(Extractor.hasNegativeToken("inline_ad"))
+    assert(Extractor.hasNegativeToken("comments-area"))
+    assert(Extractor.hasNegativeToken("site FOOTER"))
+    assert(Extractor.hasNegativeToken("paywall-gate"))
+    assert(!Extractor.hasNegativeToken("shadow"))       // 'ad' not on a boundary
+    assert(!Extractor.hasNegativeToken("road-map"))
+    assert(!Extractor.hasNegativeToken("article-body"))
+    assert(!Extractor.hasNegativeToken("entry-content"))
+    assert(!Extractor.hasNegativeToken(""))
+  }
+
+  test("negative-gate drops sandwiched boilerplate; long prose survives a misnomer") {
+    val prose = "Plain sentence with enough words to be classified as standalone " +
+      "content by the densitometric rules used in this extractor pipeline today."
+    val html = s"<body><p>$prose</p><div class='inline-ad'>ADVERTISEMENT</div><p>$prose</p>" +
+      s"<div class='footer-misnomer-ad'>$prose $prose $prose</div></body>"
+    val ex = Extractor.extract(HtmlParser.parseDocument(html).doc)
+    assert(!ex.text.contains("ADVERTISEMENT"), "ad slot must be dropped")
+    // >= 40 words of low-link prose survives even inside a negative class
+    assert(ex.text.linesIterator.size == 3)
+  }
+
+  test("heading rescue looks past metadata lines to following content") {
+    val prose = "A first paragraph long enough that the word count rules classify " +
+      "it as body content without any doubt in the standalone prose branch."
+    val html = s"<body><article><h1>The Headline</h1><p>By A. Writer</p><p>$prose</p></article></body>"
+    val ex = Extractor.extract(HtmlParser.parseDocument(html).doc)
+    assert(ex.text.startsWith("The Headline\n"), s"headline missing: ${ex.text.take(60)}")
+  }
+
+  test("goldens drop known boilerplate markers (semantic, not snapshot)") {
+    def golden(name: String): String =
+      new String(Files.readAllBytes(base.resolve(s"$name/expected.txt")), "UTF-8")
+    assert(!golden("news-site").contains("ADVERTISEMENT"))
+    assert(golden("news-site").startsWith("Port Authority Approves Expansion"))
+    assert(!golden("wordpress-article").contains("What grinder do you use"))
+    assert(golden("wordpress-article").startsWith("How to Brew Better Coffee"))
+    assert(!golden("paywall-teaser").contains("Subscribe for"))
+    assert(!golden("wiki-page").contains("Free Documentation License"))
+    assert(!golden("ecommerce-product").contains("Customers also bought"))
+    assert(golden("forum-thread").contains("cracked exhaust heat shield"))
+  }
+
   test("link extraction: DOM order, normalized anchors, foreign/href-less skipped") {
     val html =
       """<body><p><a href="/x">one  <b>two</b>
