@@ -75,6 +75,27 @@ object SparkEntry {
         .toDF("doc_id", "text", "kind", "ok")
         .orderBy("doc_id")
     }),
+    "warc_extract" -> ((s, dir) => {
+      // WARC leg roundtrip: documents.text → synthetic page → WARC/1.0
+      // response record (member-gzip on odd ids) → graft.sources.Warc
+      // reader → full parse+extract. Must reproduce title+text
+      // byte-for-byte AND the record headers (URI, ISO date) — the
+      // crawl-archive ingestion path end-to-end per row.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val html = SynthCorpus.pageBytes(id, t)
+          val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(SynthCorpus.warcTs(id).toInstant)
+          val file = graft.sources.Warc.buildFile(
+            Seq((SynthCorpus.url(id), iso, html)), gzipPerRecord = id % 2 == 1)
+          val rec = graft.sources.Warc.records(file).find(_.warcType == "response").get
+          val doc = ExtractPipeline.parseOne(rec.targetUri, graft.sources.Warc.htmlPayload(rec))
+          (id, doc.text, rec.targetUri == SynthCorpus.url(id) && rec.date == iso)
+        }
+        .toDF("doc_id", "text", "hdr_ok")
+        .orderBy("doc_id")
+    }),
     "extract_title" -> ((s, dir) => {
       pages(s, dir).select(
           regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
@@ -336,6 +357,11 @@ object SparkEntry {
         |ORDER BY doc_id, span_idx""".stripMargin,
     "pdf_extract" ->
       """SELECT doc_id, text, 'pdf' AS kind, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "warc_extract" ->
+      """SELECT doc_id,
+        |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text,
+        |  true AS hdr_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "extract_title" ->
       """SELECT doc_id,

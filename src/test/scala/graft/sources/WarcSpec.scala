@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  private val pages = Seq(
+    ("https://a.example/one", "2025-01-01T00:00:00Z", "<html><body><p>alpha</p>"),
+    ("https://b.example/two", "2025-01-02T10:30:00Z", "<html><body><p>beta β UTF-8</p>"),
+    ("https://c.example/three", "2025-01-03T23:59:59Z", ""))
+
+  private def recs = pages.map { case (u, d, h) => (u, d, h.getBytes("UTF-8")) }
+
+  test("plain roundtrip: responses come back byte-identical, warcinfo skipped") {
+    val file = Warc.buildFile(recs, gzipPerRecord = false)
+    val rs = Warc.records(file).toSeq
+    assert(rs.map(_.warcType) == Seq("warcinfo", "response", "response", "response"))
+    val resp = rs.filter(_.warcType == "response")
+    assert(resp.map(_.targetUri) == pages.map(_._1))
+    assert(resp.map(_.date) == pages.map(_._2))
+    assert(resp.map(r => new String(Warc.htmlPayload(r), "UTF-8")) == pages.map(_._3))
+  }
+
+  test("gzip member-per-record roundtrip") {
+    val file = Warc.buildFile(recs, gzipPerRecord = true)
+    assert((file(0) & 0xFF) == 0x1F && (file(1) & 0xFF) == 0x8B)
+    val resp = Warc.records(file).filter(_.warcType == "response").toSeq
+    assert(resp.map(r => new String(Warc.htmlPayload(r), "UTF-8")) == pages.map(_._3))
+  }
+
+  test("payload without an embedded HTTP head passes through whole") {
+    val r = WarcRecord("resource", "u", "d", "just bytes".getBytes("UTF-8"))
+    assert(new String(Warc.htmlPayload(r), "UTF-8") == "just bytes")
+  }
+
+  test("corrupt record in the middle: resync recovers the rest") {
+    val good = Warc.buildFile(recs)
+    val garbage = "WARC/1.0\r\nWARC-Type: response\r\nbroken header line\r\nContent-Length: oops\r\n\r\n".getBytes("ISO-8859-1")
+    val tail = Warc.buildResponse("https://d.example/four", "2025-01-04T00:00:00Z",
+      "<p>recovered</p>".getBytes("UTF-8"))
+    val file = good ++ garbage ++ tail
+    val resp = Warc.records(file).filter(_.warcType == "response").toSeq
+    assert(resp.map(_.targetUri) ==
+      pages.map(_._1) :+ "https://d.example/four")
+  }
+
+  test("truncated payload: earlier records survive, iterator ends cleanly") {
+    val file = Warc.buildFile(recs)
+    val cut = file.take(file.length - 30)
+    val resp = Warc.records(cut).filter(_.warcType == "response").toSeq
+    assert(resp.size == pages.size - 1 || resp.size == pages.size)
+    assert(resp.head.targetUri == pages.head._1)
+  }
+
+  test("random garbage never throws") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val junk = Array.fill(rnd.nextInt(2000))(rnd.nextInt(256).toByte)
+      Warc.records(junk).foreach(_ => ())
+    }
+  }
+
+  test("Spark read: warc.gz file to (url, warc_ts, html) rows") {
+    val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-spec", 2)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("warcspec")
+      java.nio.file.Files.write(dir.resolve("seg-00000.warc.gz"),
+        Warc.buildFile(recs, gzipPerRecord = true))
+      val rows = WarcSource.read(spark, dir.toString + "/*.warc.gz")
+        .orderBy("url").collect()
+      assert(rows.length == 3)
+      assert(rows.map(_.getString(0)).toSeq == pages.map(_._1).sorted)
+      assert(new String(rows(0).getAs[Array[Byte]]("html"), "UTF-8") == "<html><body><p>alpha</p>")
+      assert(rows(0).getTimestamp(1) != null)
+    } finally spark.stop()
+  }
+}
