@@ -60,6 +60,35 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("warc file through the full salted extraction pipeline, byte-identical") {
+    import graft.pipeline.{ExtractPipeline, SynthCorpus}
+    val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-pipe", 2)
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val synth = (0L until 40L).map { id =>
+        val text = SynthCorpus.syntheticText(id)
+        (SynthCorpus.url(id), "2025-01-01T00:00:00Z", SynthCorpus.pageBytes(id, text))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("warcpipe")
+      // two segment files, mixed compression
+      java.nio.file.Files.write(dir.resolve("seg-0.warc.gz"),
+        Warc.buildFile(synth.take(20), gzipPerRecord = true))
+      java.nio.file.Files.write(dir.resolve("seg-1.warc"),
+        Warc.buildFile(synth.drop(20)))
+      val pages = WarcSource.read(spark, dir.toString + "/*")
+        .withColumn("bucket", ExtractPipeline.bucketCol(col("url"), 32, 16, 0))
+        .repartition(8, col("bucket"))
+      val out = ExtractPipeline.parseStage(pages)(spark)
+        .select($"url", $"text").as[(String, String)].collect().toMap
+      assert(out.size == 40)
+      for (id <- 0L until 40L) {
+        val expected = SynthCorpus.expectedExtract(id, SynthCorpus.syntheticText(id))
+        assert(out(SynthCorpus.url(id)) == expected, s"doc $id text mismatch")
+      }
+    } finally spark.stop()
+  }
+
   test("Spark read: warc.gz file to (url, warc_ts, html) rows") {
     val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-spec", 2)
     try {
