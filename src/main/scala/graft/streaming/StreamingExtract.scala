@@ -42,6 +42,44 @@ object StreamingExtract {
       .start()
   }
 
+  /** Streaming ingestion of raw crawl archives: a watch-folder of arriving
+    * `.warc(.gz)` segments → record extraction → salted parse → append
+    * parquet. Same per-segment task shape as the batch
+    * [[graft.sources.WarcSource]]; the file-stream checkpoint makes
+    * segment processing exactly-once across restarts — the streaming
+    * equivalent of the batch job's bucket-resume, at segment granularity. */
+  def runFromWarc(spark: SparkSession, inputDir: String, outputDir: String,
+                  checkpointDir: String, buckets: Int = 64): StreamingQuery = {
+    import spark.implicits._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val pages = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(inputDir)
+      .select($"content").as[Array[Byte]]
+      .mapPartitions { files =>
+        files.flatMap { bytes =>
+          graft.sources.Warc.records(bytes).collect {
+            case r if r.warcType == "response" =>
+              (r.targetUri, graft.sources.WarcSource.parseTs(r.date),
+                graft.sources.Warc.htmlPayload(r))
+          }
+        }
+      }
+      .toDF("url", "warc_ts", "html")
+      .withColumn("bucket", ExtractPipeline.bucketCol($"url", buckets, 16, 0))
+    ExtractPipeline.parseStage(pages)(spark).writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Windowed crawl-rate metrics with a watermark: pages per host per
     * 1-hour event-time window (late data beyond 2 hours dropped). */
   def hostRate(spark: SparkSession, inputDir: String): DataFrame = {

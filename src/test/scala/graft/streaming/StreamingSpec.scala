@@ -46,6 +46,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() == 160)
   }
 
+  test("streaming WARC watch-folder: segments extracted exactly-once across restarts") {
+    import spark.implicits._
+    import graft.pipeline.SynthCorpus
+    import graft.sources.Warc
+    val tmp = Files.createTempDirectory("graft-warc-stream").toString
+    new java.io.File(s"$tmp/in").mkdirs()
+    def segment(ids: Range, gz: Boolean): Array[Byte] =
+      Warc.buildFile(ids.map { i =>
+        (SynthCorpus.url(i.toLong), "2025-01-01T00:00:00Z",
+          SynthCorpus.pageBytes(i.toLong, SynthCorpus.syntheticText(i.toLong)))
+      }, gzipPerRecord = gz)
+    Files.write(java.nio.file.Paths.get(s"$tmp/in/seg-0.warc.gz"), segment(0 until 25, gz = true))
+    Files.write(java.nio.file.Paths.get(s"$tmp/in/seg-1.warc"), segment(25 until 50, gz = false))
+
+    val q = StreamingExtract.runFromWarc(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ck", buckets = 8)
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out").select($"url", $"text").as[(String, String)].collect().toMap
+    assert(out.size == 50)
+    assert(out(SynthCorpus.url(7L)) ==
+      SynthCorpus.expectedExtract(7L, SynthCorpus.syntheticText(7L)))
+
+    // restart with no new segments → no duplicates
+    StreamingExtract.runFromWarc(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ck", buckets = 8).awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() == 50)
+
+    // a late-arriving segment is picked up alone
+    Files.write(java.nio.file.Paths.get(s"$tmp/in/seg-2.warc.gz"), segment(50 until 60, gz = true))
+    StreamingExtract.runFromWarc(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ck", buckets = 8).awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() == 60)
+  }
+
   test("stateful first-seen dedup suppresses recrawled content across restarts") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream3").toString
