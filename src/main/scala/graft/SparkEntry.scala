@@ -75,6 +75,41 @@ object SparkEntry {
         .toDF("doc_id", "text", "kind", "ok")
         .orderBy("doc_id")
     }),
+    "url_canon" -> ((s, dir) => {
+      // URL canonicalization (native url_canon expression) over
+      // deterministically-messied URLs: case-twisted scheme/host, default
+      // vs explicit ports, dot segments, unreserved percent-escapes,
+      // utm_* params, fragments. Messy form AND expected canonical form
+      // are pure functions of doc_id, so the oracle forward-models the
+      // answer instead of replicating RFC 3986 in SQL.
+      import s.implicits._
+      val messy = docs(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val scheme = if (id % 2 == 0) "HTTP" else "https"
+          val port = id % 3 match {
+            case 0 => if (id % 2 == 0) ":80" else ":443" // default: stripped
+            case 1 => ":8080"                            // explicit: kept
+            case _ => ""
+          }
+          val path = id % 4 match {
+            case 0 => s"/doc/$id"
+            case 1 => s"/a/./doc/../doc/$id"
+            case 2 => s"/%64oc/$id"
+            case _ => s"/../doc/$id"
+          }
+          val query = id % 7 match {
+            case 0 => "?utm_source=feed&x=1"
+            case 1 => "?x=1&utm_campaign=z"
+            case 2 => "?utm_medium=a"
+            case _ => ""
+          }
+          val frag = if (id % 5 == 0) "#sec" else ""
+          (id, scheme + "://" + SynthCorpus.host(id).toUpperCase + port + path + query + frag)
+        }.toDF("doc_id", "url")
+      messy.select(col("doc_id"),
+          graft.functions.UrlFunctions.url_canon(col("url")).as("canon"))
+        .orderBy("doc_id")
+    }),
     "warc_extract" -> ((s, dir) => {
       // WARC leg roundtrip: documents.text → synthetic page → WARC/1.0
       // response record (member-gzip on odd ids) → graft.sources.Warc
@@ -357,6 +392,16 @@ object SparkEntry {
         |ORDER BY doc_id, span_idx""".stripMargin,
     "pdf_extract" ->
       """SELECT doc_id, text, 'pdf' AS kind, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "url_canon" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
+        |        ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END) ||
+        |  (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 1 THEN '/a/doc/' ELSE '/doc/' END) ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 7 IN (0, 1) THEN '?x=1' ELSE '' END) AS canon
         |FROM documents ORDER BY doc_id""".stripMargin,
     "warc_extract" ->
       """SELECT doc_id,

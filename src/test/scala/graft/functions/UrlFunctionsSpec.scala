@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import UrlFunctions.canonicalize
+
+class UrlFunctionsSpec extends AnyFunSuite {
+
+  test("scheme/host lowercase, default port stripped, explicit port kept") {
+    assert(canonicalize("HTTP://Example.COM/") == "http://example.com/")
+    assert(canonicalize("http://example.com:80/a") == "http://example.com/a")
+    assert(canonicalize("https://example.com:443/a") == "https://example.com/a")
+    assert(canonicalize("http://example.com:8080/a") == "http://example.com:8080/a")
+    assert(canonicalize("https://example.com:80/a") == "https://example.com:80/a")
+  }
+
+  test("fragment removed, empty path becomes /") {
+    assert(canonicalize("http://a.com#frag") == "http://a.com/")
+    assert(canonicalize("http://a.com/x#frag") == "http://a.com/x")
+    assert(canonicalize("http://a.com") == "http://a.com/")
+    assert(canonicalize("http://a.com?q=1#f") == "http://a.com/?q=1")
+  }
+
+  test("dot segments resolved, clamped at root, // preserved") {
+    assert(canonicalize("http://a.com/x/./y") == "http://a.com/x/y")
+    assert(canonicalize("http://a.com/x/../y") == "http://a.com/y")
+    assert(canonicalize("http://a.com/../../y") == "http://a.com/y")
+    assert(canonicalize("http://a.com/x/y/..") == "http://a.com/x/")
+    assert(canonicalize("http://a.com/x/.") == "http://a.com/x/")
+    assert(canonicalize("http://a.com/x//y") == "http://a.com/x//y")
+  }
+
+  test("percent escapes: unreserved decoded, others upper-hexed") {
+    assert(canonicalize("http://a.com/%64oc/%7Euser") == "http://a.com/doc/~user")
+    assert(canonicalize("http://a.com/a%3fb") == "http://a.com/a%3Fb")
+    assert(canonicalize("http://a.com/100%") == "http://a.com/100%")
+    assert(canonicalize("http://a.com/%zz") == "http://a.com/%zz")
+  }
+
+  test("utm_* params dropped; order preserved; emptied query drops ?") {
+    assert(canonicalize("http://a.com/p?utm_source=x&b=2&utm_medium=y&a=1") ==
+      "http://a.com/p?b=2&a=1")
+    assert(canonicalize("http://a.com/p?utm_source=x") == "http://a.com/p")
+    assert(canonicalize("http://a.com/p?b=2&a=1") == "http://a.com/p?b=2&a=1")
+  }
+
+  test("pass-through: non-http schemes, relative refs, malformed") {
+    assert(canonicalize("ftp://A.com/X") == "ftp://A.com/X")
+    assert(canonicalize("mailto:x@y.com") == "mailto:x@y.com")
+    assert(canonicalize("/relative/path") == "/relative/path")
+    assert(canonicalize("") == "")
+    assert(canonicalize("http://") == "http:///")
+  }
+
+  test("IPv6 literal host kept, port split after bracket") {
+    assert(canonicalize("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(canonicalize("http://[2001:db8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+  }
+
+  test("total and deterministic on junk") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 0 until 2000) {
+      val junk = (0 until rnd.nextInt(40)).map(_ => "h:t/p%.#?[]:@&=~".charAt(rnd.nextInt(16))).mkString
+      assert(canonicalize("http://" + junk) == canonicalize("http://" + junk))
+      canonicalize(junk)
+    }
+  }
+
+  test("canonical form is a fixed point") {
+    val samples = Seq(
+      "HTTP://Ex.COM:80/a/./b/../c%41?utm_source=1&k=v#f",
+      "https://h.example/x//y/%7e",
+      "http://a.com")
+    for (s <- samples) {
+      val once = canonicalize(s)
+      assert(canonicalize(once) == once, s"not a fixed point: $s -> $once")
+    }
+  }
+}
