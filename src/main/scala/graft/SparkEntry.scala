@@ -75,6 +75,28 @@ object SparkEntry {
         .toDF("doc_id", "text", "kind", "ok")
         .orderBy("doc_id")
     }),
+    "dedup_url" -> ((s, dir) => {
+      // URL-level dedup: ids 4k..4k+3 are recrawls of one page under four
+      // trivially-different URLs (host case, explicit default port, dot
+      // segment + fragment, utm_ param); Dedup.byUrl must merge each
+      // group to its earliest capture (= lowest id here; warcTs is
+      // monotone in id at these scales).
+      import s.implicits._
+      val pages = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val grp = id / 4
+        val host = SynthCorpus.host(grp)
+        val url = id % 4 match {
+          case 0 => s"https://${host.toUpperCase}/doc/$grp"
+          case 1 => s"HTTPS://$host:443/doc/$grp"
+          case 2 => s"https://$host/a/../doc/$grp#frag"
+          case _ => s"https://$host/doc/$grp?utm_source=x"
+        }
+        (id, url, SynthCorpus.warcTs(id))
+      }.toDF("doc_id", "url", "warc_ts")
+      Dedup.byUrl(pages, "doc_id", "url", "warc_ts")
+        .select(col("canon"), col("doc_id"), col("captures"))
+        .orderBy("canon")
+    }),
     "url_canon" -> ((s, dir) => {
       // URL canonicalization (native url_canon expression) over
       // deterministically-messied URLs: case-twisted scheme/host, default
@@ -393,6 +415,16 @@ object SparkEntry {
     "pdf_extract" ->
       """SELECT doc_id, text, 'pdf' AS kind, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_url" ->
+      """WITH grps AS (
+        |  SELECT doc_id // 4 AS grp, min(doc_id) AS doc_id, count(*) AS captures
+        |  FROM documents GROUP BY 1)
+        |SELECT 'https://' ||
+        |  (CASE WHEN grp % 10 < 3 THEN 'heavy.example'
+        |        ELSE 'host-' || CAST(grp % 97 AS VARCHAR) || '.example' END) ||
+        |  '/doc/' || CAST(grp AS VARCHAR) AS canon,
+        |  doc_id, captures
+        |FROM grps ORDER BY canon""".stripMargin,
     "url_canon" ->
       """SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||

@@ -50,6 +50,25 @@ object Dedup {
       .select(col(idCol), col("copies"))
   }
 
+  /** URL-level dedup: one row per canonical URL ([[graft.functions
+    * .UrlFunctions.url_canon]]), keeping the EARLIEST capture — the
+    * standard crawl-consolidation rule (recrawls of the same page under
+    * trivially-different URLs: case, default ports, fragments, utm_*
+    * tracking params). Shuffles (canon, ts, id) only, never page bytes;
+    * at 10^12 rows this is one hash exchange on a short string key, with
+    * AQE handling the skew of heavily-recrawled hosts. min_by is made
+    * deterministic by the (ts, id) struct orderding: ties on timestamp
+    * break toward the lowest id. */
+  def byUrl(docs: DataFrame, idCol: String, urlCol: String, tsCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.UrlFunctions.url_canon(col(urlCol)).as("canon"),
+        col(tsCol).as("ts"))
+      .groupBy(col("canon"))
+      .agg(min(struct(col("ts"), col("id"))).as("first"),
+        count(lit(1)).as("captures"))
+      .select(col("canon"), col("first.id").as(idCol),
+        col("first.ts").as(tsCol), col("captures"))
+
   /** Distinct k-word shingles as 62-bit portable hashes, first-occurrence
     * order (native kernel; dialect-exact, DuckDB oracles recompute it). */
   def shingles(textCol: Column, k: Int): Column =
