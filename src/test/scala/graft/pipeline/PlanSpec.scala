@@ -194,6 +194,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected AQE skew-join split in final plan:\n${plan.take(3000)}")
   }
 
+  test("URL dedup: one hash exchange on the short canon key, partial agg") {
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$tmp/pages").select($"url", $"warc_ts")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val df = graft.operators.Dedup.byUrl(pages, "doc_id", "url", "warc_ts")
+    val plan = planOf(df)
+    val hashEx = plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2 ||
+      plan.linesIterator.count(_.contains("SortAggregate")) >= 2,
+      s"expected partial + final aggregation:\n$plan")
+    // the shuffled row carries canon/ts/id only, never html/text
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(!plan.substring(exIdx, math.min(plan.length, exIdx + 400)).contains("html"),
+      "page bytes must not reach the URL-dedup shuffle")
+  }
+
   test("exact dedup shuffles digests, not document text (VERDICT r01 #6)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // round-1 formulation: the text column rides along as a group key
