@@ -1,0 +1,402 @@
+#!/usr/bin/env python3
+"""Spec-oracle generator: adoption agency / active-formatting-elements.
+
+An independent Python mini tree-builder implementing the in-body subset
+needed to exercise the WHATWG adoption agency algorithm at full
+strength:
+
+  - formatting elements (a b big code em font i nobr s small strike
+    strong tt u) with AFE push, Noah's ark (3 identical), a-in-a and
+    nobr-in-nobr special entries
+  - AFE reconstruction before text/inserts
+  - the COMPLETE adoption agency algorithm: 8-iteration outer loop,
+    3-step inner loop with AFE eviction, furthest block, common
+    ancestor, bookmark, clone chains, child moves
+  - special blocks div/p (p closing, button-scope), marquee (AFE
+    marker + scope barrier), ordinary span, any-other-end-tag, stray
+    </p> manufacture, implied end tags (p)
+
+Inputs are seeded random token sequences over that alphabet, so the
+battery explores AAA interaction space far beyond hand-authored cases.
+Engine-vs-generator disagreement is a real finding on one side.
+"""
+import random
+import sys
+
+FORMATTING = ["a", "b", "big", "code", "em", "font", "i", "nobr", "s",
+              "small", "strike", "strong", "tt", "u"]
+SCOPE_BARRIERS = {"html", "marquee", "applet", "caption", "table", "td",
+                  "th", "object", "template"}
+SPECIAL = {"div", "p", "marquee", "html", "body", "head", "address", "ul",
+           "li", "table", "button"}
+
+MARKER = "|MARKER|"
+
+
+class Node:
+    __slots__ = ("tag", "children", "parent")
+
+    def __init__(self, tag):
+        self.tag = tag
+        self.children = []
+        self.parent = None
+
+    def append(self, child):
+        if child.parent is not None:
+            child.parent.children.remove(child)
+        child.parent = self
+        self.children.append(child)
+
+
+class Text:
+    __slots__ = ("s", "parent")
+
+    def __init__(self, s):
+        self.s = s
+        self.parent = None
+
+
+class Builder:
+    def __init__(self):
+        self.html = Node("html")
+        self.head = Node("head")
+        self.body = Node("body")
+        self.html.append(self.head)
+        self.html.append(self.body)
+        self.stack = [self.html, self.body]
+        self.afe = []  # entries: Node or MARKER
+
+    # ------------------------------------------------------------ helpers
+    def current(self):
+        return self.stack[-1]
+
+    def in_scope(self, tag, extra_barriers=()):
+        for node in reversed(self.stack):
+            if node.tag == tag:
+                return True
+            if node.tag in SCOPE_BARRIERS or node.tag in extra_barriers:
+                return False
+        return False
+
+    def insert_text(self, s):
+        self.reconstruct()
+        cur = self.current()
+        if cur.children and isinstance(cur.children[-1], Text):
+            cur.children[-1].s += s
+        else:
+            t = Text(s)
+            t.parent = cur
+            cur.children.append(t)
+
+    def insert_element(self, tag):
+        n = Node(tag)
+        self.current().append(n)
+        self.stack.append(n)
+        return n
+
+    def generate_implied_ends(self, except_tag=None):
+        while self.current().tag == "p" and except_tag != "p":
+            self.stack.pop()
+
+    def close_p(self):
+        self.generate_implied_ends(except_tag="p")
+        while self.stack:
+            n = self.stack.pop()
+            if n.tag == "p":
+                break
+
+    def reconstruct(self):
+        if not self.afe:
+            return
+        last = self.afe[-1]
+        if last is MARKER or last in self.stack:
+            return
+        i = len(self.afe) - 1
+        while True:
+            if i == 0:
+                break
+            i -= 1
+            e = self.afe[i]
+            if e is MARKER or e in self.stack:
+                i += 1
+                break
+        while i < len(self.afe):
+            entry = self.afe[i]
+            clone = Node(entry.tag)
+            self.current().append(clone)
+            self.stack.append(clone)
+            self.afe[i] = clone
+            i += 1
+
+    def noahs_ark(self, tag):
+        count = 0
+        earliest = None
+        for e in reversed(self.afe):
+            if e is MARKER:
+                break
+            if e.tag == tag:  # no attrs in this battery: same tag = same
+                count += 1
+                earliest = e
+        if count >= 3:
+            self.afe.remove(earliest)
+
+    # ------------------------------------------------------------- tokens
+    def start_tag(self, tag):
+        if tag in FORMATTING:
+            if tag == "a":
+                existing = None
+                for e in reversed(self.afe):
+                    if e is MARKER:
+                        break
+                    if e.tag == "a":
+                        existing = e
+                        break
+                if existing is not None:
+                    self.adoption_agency("a")
+                    if existing in self.afe:
+                        self.afe.remove(existing)
+                    if existing in self.stack:
+                        self.stack.remove(existing)
+            elif tag == "nobr":
+                # spec order: reconstruct FIRST, then the in-scope check —
+                # a stack-absent AFE nobr is recreated by the reconstruct
+                # and immediately closed by the AAA run, producing SIBLING
+                # nobrs (this ordering was a real bug in the first draft
+                # of this oracle; the engine had it right)
+                self.reconstruct()
+                if self.in_scope("nobr"):
+                    self.adoption_agency("nobr")
+                    self.reconstruct()
+            self.reconstruct()
+            el = self.insert_element(tag)
+            self.noahs_ark(tag)
+            self.afe.append(el)
+        elif tag in ("div", "p"):
+            if self.in_scope("p", extra_barriers=("button",)):
+                self.close_p()
+            self.insert_element(tag)
+        elif tag == "span":
+            self.reconstruct()
+            self.insert_element(tag)
+        elif tag == "marquee":
+            self.reconstruct()
+            self.insert_element(tag)
+            self.afe.append(MARKER)
+        else:
+            raise ValueError(tag)
+
+    def clear_afe_to_marker(self):
+        while self.afe:
+            e = self.afe.pop()
+            if e is MARKER:
+                break
+
+    def any_other_end_tag(self, tag):
+        for node in reversed(self.stack):
+            if node.tag == tag:
+                self.generate_implied_ends(except_tag=tag)
+                while self.stack:
+                    if self.stack.pop() is node:
+                        return
+                return
+            if node.tag in SPECIAL:
+                return  # parse error, ignore
+
+    def end_tag(self, tag):
+        if tag in FORMATTING:
+            self.adoption_agency(tag)
+        elif tag == "p":
+            if not self.in_scope("p", extra_barriers=("button",)):
+                self.insert_element("p")
+            self.close_p()
+        elif tag == "div":
+            if self.in_scope("div"):
+                self.generate_implied_ends()
+                while self.stack:
+                    if self.stack.pop().tag == "div":
+                        break
+        elif tag == "marquee":
+            if self.in_scope("marquee"):
+                self.generate_implied_ends()
+                while self.stack:
+                    if self.stack.pop().tag == "marquee":
+                        break
+                self.clear_afe_to_marker()
+        elif tag == "span":
+            self.any_other_end_tag("span")
+        else:
+            raise ValueError(tag)
+
+    # --------------------------------------------------- adoption agency
+    def adoption_agency(self, subject):
+        # step 1-2 simplification: current node case
+        cur = self.current()
+        if cur.tag == subject and cur not in self.afe:
+            self.stack.pop()
+            return
+        for _ in range(8):  # outer loop
+            fmt = None
+            for e in reversed(self.afe):
+                if e is MARKER:
+                    break
+                if e.tag == subject:
+                    fmt = e
+                    break
+            if fmt is None:
+                self.any_other_end_tag(subject)
+                return
+            if fmt not in self.stack:
+                self.afe.remove(fmt)
+                return
+            idx = self.stack.index(fmt)
+            # scope: walk from the top down to fmt; barriers block it
+            in_scope = True
+            for node in reversed(self.stack):
+                if node is fmt:
+                    break
+                if node.tag in SCOPE_BARRIERS:
+                    in_scope = False
+                    break
+            if not in_scope:
+                return  # parse error, ignore token
+            # (fmt != current node is just a parse error; continue)
+            furthest = None
+            for node in self.stack[idx + 1:]:
+                if node.tag in SPECIAL:
+                    furthest = node
+                    break
+            if furthest is None:
+                while self.stack:
+                    if self.stack.pop() is fmt:
+                        break
+                self.afe.remove(fmt)
+                return
+            common = self.stack[idx - 1]
+            bookmark = self.afe.index(fmt)
+            node = furthest
+            last_node = furthest
+            node_stack_idx = self.stack.index(furthest)
+            inner = 0
+            while True:
+                inner += 1
+                node_stack_idx -= 1
+                node = self.stack[node_stack_idx]
+                if node is fmt:
+                    break
+                if inner > 3 and node in self.afe:
+                    self.afe.remove(node)
+                if node not in self.afe:
+                    self.stack.remove(node)
+                    continue
+                clone = Node(node.tag)
+                self.afe[self.afe.index(node)] = clone
+                self.stack[self.stack.index(node)] = clone
+                # moved: clone takes node's tree position? No — the clone
+                # replaces node in the BOOKKEEPING lists; tree edits below
+                clone.children = []
+                node2 = clone
+                if last_node is furthest:
+                    bookmark = self.afe.index(clone) + 1
+                node2.append(last_node)
+                last_node = node2
+                node = node2
+                node_stack_idx = self.stack.index(node2)
+            common.append(last_node)
+            new_fmt = Node(fmt.tag)
+            for ch in list(furthest.children):
+                new_fmt.append(ch)
+            furthest.append(new_fmt)
+            fmt_afe_idx = self.afe.index(fmt)
+            self.afe.remove(fmt)
+            if fmt_afe_idx < bookmark:
+                bookmark -= 1
+            self.afe.insert(bookmark, new_fmt)
+            self.stack.remove(fmt)
+            self.stack.insert(self.stack.index(furthest) + 1, new_fmt)
+
+    # ---------------------------------------------------------- serialize
+    def serialize(self):
+        lines = ["| <html>", "|   <head>", "|   <body>"]
+
+        def walk(n, depth):
+            pad = "| " + "  " * depth
+            for c in n.children:
+                if isinstance(c, Text):
+                    lines.append(pad + '"' + c.s + '"')
+                else:
+                    lines.append(pad + "<" + c.tag + ">")
+                    walk(c, depth + 1)
+
+        walk(self.body, 2)
+        return "\n".join(lines) + "\n"
+
+
+def run(tokens):
+    b = Builder()
+    for t in tokens:
+        if t[0] == "<" and t[1] == "/":
+            b.end_tag(t[2:-1])
+        elif t[0] == "<":
+            b.start_tag(t[1:-1])
+        else:
+            b.insert_text(t)
+    return b.serialize()
+
+
+def main():
+    rnd = random.Random(20260817)
+    fmt_small = ["b", "i", "a", "nobr", "em", "u", "s", "font"]
+    tags = fmt_small + ["div", "p", "span", "marquee"]
+    texts = ["1", "2", "3", "4"]
+    alphabet = ([f"<{t}>" for t in tags] + [f"</{t}>" for t in tags] + texts)
+
+    seen = set()
+    cases = []
+    trials = 0
+    while len(cases) < 500 and trials < 40000:
+        trials += 1
+        k = rnd.randint(4, 14)
+        toks = [rnd.choice(alphabet) for _ in range(k)]
+        # bias: make end tags reference tags that appeared
+        started = [t[1:-1] for t in toks if t.startswith("<") and not t.startswith("</")]
+        if started:
+            for i, t in enumerate(toks):
+                if t.startswith("</") and rnd.random() < 0.7:
+                    toks[i] = "</" + rnd.choice(started) + ">"
+        if toks[0].startswith("</"):
+            # a LEADING end tag is dropped by the real parser in
+            # before-html mode, which this body-rooted mini builder does
+            # not model — open the body with a text token first
+            toks = ["0"] + toks
+        data = "".join(toks)
+        if data in seen:
+            continue
+        seen.add(data)
+        try:
+            tree = run(toks)
+        except Exception:
+            continue
+        cases.append("#data\n" + data + "\n#errors\n#document\n" + tree)
+
+    # a few canonical handwritten AAA shapes as sanity anchors
+    for toks in [
+        ["<a>", "1", "<div>", "2", "<div>", "3", "</a>", "4"],
+        ["<b>", "<i>", "1", "</b>", "2", "</i>", "3"],
+        ["<a>", "<p>", "1", "</a>", "2"],
+        ["<b>", "1", "<p>", "2", "</b>", "3"],
+        ["<nobr>", "1", "<nobr>", "2"],
+        ["<marquee>", "<b>", "1", "</marquee>", "2"],
+        ["<b>", "<b>", "<b>", "<b>", "1"],
+        ["<em>", "<p>", "a", "<div>", "b", "</em>", "c"],
+    ]:
+        data = "".join(toks)
+        if data not in seen:
+            seen.add(data)
+            cases.append("#data\n" + data + "\n#errors\n#document\n" + run(toks))
+
+    sys.stdout.write("\n".join(cases))
+    sys.stderr.write(f"{len(cases)} cases ({trials} trials)\n")
+
+
+if __name__ == "__main__":
+    main()
