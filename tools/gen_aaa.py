@@ -128,6 +128,12 @@ class Builder:
             self.afe[i] = clone
             i += 1
 
+    def place_override(self, target, child):
+        # hook: the AAA common-ancestor insert uses the "appropriate
+        # place" with an override target; the table subclass fosters when
+        # that target is table-ish
+        target.append(child)
+
     def noahs_ark(self, tag):
         count = 0
         earliest = None
@@ -301,7 +307,7 @@ class Builder:
                 last_node = node2
                 node = node2
                 node_stack_idx = self.stack.index(node2)
-            common.append(last_node)
+            self.place_override(common, last_node)
             new_fmt = Node(fmt.tag)
             for ch in list(furthest.children):
                 new_fmt.append(ch)
