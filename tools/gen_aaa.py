@@ -177,10 +177,26 @@ class Builder:
             el = self.insert_element(tag)
             self.noahs_ark(tag)
             self.afe.append(el)
-        elif tag in ("div", "p"):
+        elif tag in ("div", "p", "ul", "address"):
             if self.in_scope("p", extra_barriers=("button",)):
                 self.close_p()
             self.insert_element(tag)
+        elif tag == "li":
+            # the li start rule: walk the stack from the current node;
+            # an open li is closed; a SPECIAL element other than
+            # address/div/p stops the walk
+            for node in reversed(self.stack):
+                if node.tag == "li":
+                    self.generate_implied_ends(except_tag="li")
+                    while self.stack:
+                        if self.stack.pop().tag == "li":
+                            break
+                    break
+                if node.tag in SPECIAL and node.tag not in ("address", "div", "p"):
+                    break
+            if self.in_scope("p", extra_barriers=("button",)):
+                self.close_p()
+            self.insert_element("li")
         elif tag == "span":
             self.reconstruct()
             self.insert_element(tag)
@@ -215,11 +231,18 @@ class Builder:
             if not self.in_scope("p", extra_barriers=("button",)):
                 self.insert_element("p")
             self.close_p()
-        elif tag == "div":
-            if self.in_scope("div"):
+        elif tag in ("div", "ul", "address"):
+            if self.in_scope(tag):
                 self.generate_implied_ends()
                 while self.stack:
-                    if self.stack.pop().tag == "div":
+                    if self.stack.pop().tag == tag:
+                        break
+        elif tag == "li":
+            # list-item scope = base scope + ul/ol
+            if self.in_scope("li", extra_barriers=("ul", "ol")):
+                self.generate_implied_ends(except_tag="li")
+                while self.stack:
+                    if self.stack.pop().tag == "li":
                         break
         elif tag == "marquee":
             if self.in_scope("marquee"):
@@ -352,14 +375,14 @@ def run(tokens):
 def main():
     rnd = random.Random(20260817)
     fmt_small = ["b", "i", "a", "nobr", "em", "u", "s", "font"]
-    tags = fmt_small + ["div", "p", "span", "marquee"]
+    tags = fmt_small + ["div", "p", "span", "marquee", "ul", "li", "address"]
     texts = ["1", "2", "3", "4"]
     alphabet = ([f"<{t}>" for t in tags] + [f"</{t}>" for t in tags] + texts)
 
     seen = set()
     cases = []
     trials = 0
-    while len(cases) < 500 and trials < 40000:
+    while len(cases) < 650 and trials < 60000:
         trials += 1
         k = rnd.randint(4, 14)
         toks = [rnd.choice(alphabet) for _ in range(k)]
