@@ -45,7 +45,11 @@ class DomSpec extends AnyFunSuite {
     // nested form only arises via the </form> pointer-reset trick
     // (h5-tests6.dat) — reparsing any serialization ignores the inner <form>
     // because the outer form pointer is set, so the DOM is unserializable
-    val selfNesting = Set("a", "nobr", "form")
+    // p: a <p> nested (at any depth) inside another <p> can only arise
+    // from foster/adoption-agency restructures; its serialization
+    // re-triggers the implied p-close on reparse, so the DOM has no
+    // faithful HTML form. li likewise via its start-tag stack walk.
+    val selfNesting = Set("a", "nobr", "form", "p", "li")
     def inherentlyUnserializable(p: HParent): Boolean = {
       def textOf(e: HElement): String = {
         val sb = new java.lang.StringBuilder
@@ -61,6 +65,21 @@ class DomSpec extends AnyFunSuite {
           case c: HElement => (c.isHtmlNs && c.name == name) || hasDescendantNamed(c, name)
           case _ => false
         }
+      val pClosers = Set("address", "article", "aside", "blockquote",
+        "center", "details", "dialog", "dir", "div", "dl", "fieldset",
+        "figcaption", "figure", "footer", "header", "hgroup", "main",
+        "menu", "nav", "ol", "section", "summary", "ul", "pre", "listing",
+        "form", "li", "dd", "dt", "h1", "h2", "h3", "h4", "h5", "h6",
+        "hr", "xmp")
+      val scopeShields = Set("button", "marquee", "object", "table", "td",
+        "th", "caption", "applet", "template")
+      def hasPCloserUnshielded(e: HElement): Boolean =
+        e.children.exists {
+          case c: HElement if c.isHtmlNs && scopeShields.contains(c.name) => false
+          case c: HElement =>
+            (c.isHtmlNs && pClosers.contains(c.name)) || hasPCloserUnshielded(c)
+          case _ => false
+        }
       def bad(n: HNode): Boolean = n match {
         case e: HElement =>
           (e.isHtmlNs && rawText.contains(e.name) &&
@@ -74,6 +93,11 @@ class DomSpec extends AnyFunSuite {
           // (not even its own close tag) follows it
           (e.isHtmlNs && e.name == "plaintext") ||
           (e.isHtmlNs && selfNesting.contains(e.name) && hasDescendantNamed(e, e.name)) ||
+          // a p-closing element (div/ul/h1/...) can only sit INSIDE a <p>
+          // via fostering/AAA; on reparse its start tag closes the p —
+          // unless a button-scope barrier (button/marquee/object/table
+          // cells) intervenes, which also blocks the reparse close
+          (e.isHtmlNs && e.name == "p" && hasPCloserUnshielded(e)) ||
           e.children.exists(bad)
         case c: HParent => c.children.exists(bad)
         case _ => false
