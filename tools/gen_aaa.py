@@ -200,6 +200,17 @@ class Builder:
         elif tag == "span":
             self.reconstruct()
             self.insert_element(tag)
+        elif tag == "button":
+            # an open button is closed first (implied ends + pop), then
+            # AFE reconstruction, then the insert; button is a scope
+            # barrier for p (button scope) but NOT an AFE marker
+            if self.in_scope("button"):
+                self.generate_implied_ends()
+                while self.stack:
+                    if self.stack.pop().tag == "button":
+                        break
+            self.reconstruct()
+            self.insert_element("button")
         elif tag == "marquee":
             self.reconstruct()
             self.insert_element(tag)
@@ -231,7 +242,7 @@ class Builder:
             if not self.in_scope("p", extra_barriers=("button",)):
                 self.insert_element("p")
             self.close_p()
-        elif tag in ("div", "ul", "address"):
+        elif tag in ("div", "ul", "address", "button"):
             if self.in_scope(tag):
                 self.generate_implied_ends()
                 while self.stack:
@@ -375,7 +386,8 @@ def run(tokens):
 def main():
     rnd = random.Random(20260817)
     fmt_small = ["b", "i", "a", "nobr", "em", "u", "s", "font"]
-    tags = fmt_small + ["div", "p", "span", "marquee", "ul", "li", "address"]
+    tags = fmt_small + ["div", "p", "span", "marquee", "ul", "li", "address",
+                        "button"]
     texts = ["1", "2", "3", "4"]
     alphabet = ([f"<{t}>" for t in tags] + [f"</{t}>" for t in tags] + texts)
 
