@@ -227,7 +227,10 @@ class TableBuilder(Builder):
             else:
                 self.foster_in_body(lambda: self.start_tag(tag))
         elif m == "in_cell":
-            if tag in ("td", "tr", "table"):
+            if tag in ("td", "tr"):
+                # table-structure start tags close the cell; a <table>
+                # start is NOT among them — it falls to the in-body rule
+                # and NESTS a new table inside the td
                 if self.in_table_scope("td"):
                     self.close_cell()
                     self.process_start(tag)
@@ -326,7 +329,7 @@ def main():
     seen = set()
     cases = []
     trials = 0
-    while len(cases) < 400 and trials < 40000:
+    while len(cases) < 500 and trials < 60000:
         trials += 1
         k = rnd.randint(4, 14)
         toks = [rnd.choice(alphabet) for _ in range(k)]
@@ -354,6 +357,8 @@ def main():
         ["<a>", "<table>", "<a>", "1", "</table>", "2"],
         ["<table>", "1", "<td>", "2"],
         ["<p>", "<table>", "<td>", "x"],
+        ["<table>", "<td>", "1", "<table>", "<td>", "2"],
+        ["<table>", "<td>", "<b>", "1", "<table>", "2", "</table>", "3"],
     ]:
         data = "".join(toks)
         if data not in seen:
