@@ -145,7 +145,7 @@ class TableBuilder(Builder):
     def close_cell(self):
         self.generate_implied_ends()
         while self.stack:
-            if self.stack.pop().tag == "td":
+            if self.stack.pop().tag in ("td", "th"):
                 break
         while self.afe:
             if self.afe.pop() is MARKER:
@@ -178,17 +178,30 @@ class TableBuilder(Builder):
 
     def process_start(self, tag):
         m = self.mode
-        if m == "in_table":
-            if tag == "tr":
+        if m == "in_caption":
+            if tag in ("td", "th", "tr", "caption"):
+                if self.in_table_scope("caption"):
+                    self.close_caption()
+                    self.process_start(tag)
+                # else ignore
+            else:
+                self.in_body_start(tag)
+        elif m == "in_table":
+            if tag == "caption":
+                self.clear_to(TABLE_CTX)
+                self.afe.append(MARKER)
+                self.stack.append(self._child("caption"))
+                self.mode = "in_caption"
+            elif tag == "tr":
                 self.clear_to(TABLE_CTX)
                 self.stack.append(self._child("tbody"))
                 self.mode = "in_table_body"
                 self.process_start("tr")
-            elif tag == "td":
+            elif tag in ("td", "th"):
                 self.clear_to(TABLE_CTX)
                 self.stack.append(self._child("tbody"))
                 self.mode = "in_table_body"
-                self.process_start("td")
+                self.process_start(tag)
             elif tag == "table":
                 if self.in_table_scope("table"):
                     while self.stack:
@@ -200,38 +213,46 @@ class TableBuilder(Builder):
             else:
                 self.foster_in_body(lambda: self.start_tag(tag))
         elif m == "in_table_body":
-            if tag == "tr":
+            if tag == "caption":
+                # structure tag: close the tbody first, reprocess in-table
+                if self.in_table_scope("tbody"):
+                    self.clear_to(TBODY_CTX)
+                    self.stack.pop()
+                    self.mode = "in_table"
+                    self.process_start("caption")
+                # else ignore
+            elif tag == "tr":
                 self.clear_to(TBODY_CTX)
                 self.stack.append(self._child("tr"))
                 self.mode = "in_row"
-            elif tag == "td":
+            elif tag in ("td", "th"):
                 self.clear_to(TBODY_CTX)
                 self.stack.append(self._child("tr"))
                 self.mode = "in_row"
-                self.process_start("td")
+                self.process_start(tag)
             elif tag == "table":
                 self.mode = "in_table"
                 self.process_start("table")
             else:
                 self.foster_in_body(lambda: self.start_tag(tag))
         elif m == "in_row":
-            if tag == "td":
+            if tag in ("td", "th"):
                 self.clear_to(ROW_CTX)
-                self.stack.append(self._child("td"))
+                self.stack.append(self._child(tag))
                 self.mode = "in_cell"
                 self.afe.append(MARKER)
-            elif tag == "tr":
-                self.end_row_then(lambda: self.process_start("tr"))
+            elif tag in ("tr", "caption"):
+                self.end_row_then(lambda: self.process_start(tag))
             elif tag == "table":
                 self.end_row_then(lambda: self.process_start("table"))
             else:
                 self.foster_in_body(lambda: self.start_tag(tag))
         elif m == "in_cell":
-            if tag in ("td", "tr"):
+            if tag in ("td", "th", "tr", "caption"):
                 # table-structure start tags close the cell; a <table>
                 # start is NOT among them — it falls to the in-body rule
-                # and NESTS a new table inside the td
-                if self.in_table_scope("td"):
+                # and NESTS a new table inside the td/th
+                if self.in_table_scope("td") or self.in_table_scope("th"):
                     self.close_cell()
                     self.process_start(tag)
                 # else ignore
@@ -239,6 +260,16 @@ class TableBuilder(Builder):
                 self.in_body_start(tag)
         else:
             self.in_body_start(tag)
+
+    def close_caption(self):
+        self.generate_implied_ends()
+        while self.stack:
+            if self.stack.pop().tag == "caption":
+                break
+        while self.afe:
+            if self.afe.pop() is MARKER:
+                break
+        self.mode = "in_table"
 
     def _child(self, tag):
         n = Node(tag)
@@ -250,7 +281,7 @@ class TableBuilder(Builder):
             # QUIRKS: no p closing
             self.insert_element("table")
             self.mode = "in_table"
-        elif tag in ("td", "tr"):
+        elif tag in ("td", "th", "tr", "caption"):
             pass  # stray cell/row tags outside a table: ignored in body
         else:
             self.start_tag(tag)
@@ -265,14 +296,26 @@ class TableBuilder(Builder):
 
     def process_end(self, tag):
         m = self.mode
-        if m == "in_table":
+        if m == "in_caption":
+            if tag == "caption":
+                if self.in_table_scope("caption"):
+                    self.close_caption()
+            elif tag == "table":
+                if self.in_table_scope("caption"):
+                    self.close_caption()
+                    self.process_end("table")
+            elif tag in ("td", "th", "tr"):
+                pass  # parse error, ignore
+            else:
+                self.end_tag(tag)
+        elif m == "in_table":
             if tag == "table":
                 if self.in_table_scope("table"):
                     while self.stack:
                         if self.stack.pop().tag == "table":
                             break
                     self.reset_mode()
-            elif tag in ("td", "tr"):
+            elif tag in ("td", "th", "tr", "caption", "tbody"):
                 pass  # parse error, ignore
             else:
                 self.foster_in_body(lambda: self.end_tag(tag))
@@ -283,7 +326,7 @@ class TableBuilder(Builder):
                     self.stack.pop()
                     self.mode = "in_table"
                     self.process_end("table")
-            elif tag in ("td", "tr"):
+            elif tag in ("td", "th", "tr", "caption"):
                 pass
             else:
                 self.foster_in_body(lambda: self.end_tag(tag))
@@ -292,13 +335,13 @@ class TableBuilder(Builder):
                 self.end_row_then(lambda: None)
             elif tag == "table":
                 self.end_row_then(lambda: self.process_end("table"))
-            elif tag == "td":
-                pass  # no cell open
+            elif tag in ("td", "th", "caption", "tbody"):
+                pass  # parse error, ignore
             else:
                 self.foster_in_body(lambda: self.end_tag(tag))
         elif m == "in_cell":
-            if tag == "td":
-                if self.in_table_scope("td"):
+            if tag in ("td", "th"):
+                if self.in_table_scope(tag):
                     self.close_cell()
             elif tag in ("table", "tr"):
                 if self.in_table_scope(tag):
@@ -307,7 +350,7 @@ class TableBuilder(Builder):
             else:
                 self.end_tag(tag)
         else:
-            if tag in ("td", "tr", "table"):
+            if tag in ("td", "th", "tr", "table", "caption"):
                 pass  # stray table end tags in body: ignored
             else:
                 self.end_tag(tag)
@@ -323,7 +366,8 @@ def run(tokens):
 def main():
     rnd = random.Random(424242)
     fmt_small = ["b", "i", "a", "nobr", "em", "u", "font"]
-    tags = fmt_small + ["div", "p", "span", "marquee", "table", "tr", "td"]
+    tags = fmt_small + ["div", "p", "span", "marquee", "table", "tr", "td",
+                        "th", "caption"]
     texts = ["1", "2", "3"]
     alphabet = ([f"<{t}>" for t in tags] + [f"</{t}>" for t in tags] + texts)
     seen = set()
