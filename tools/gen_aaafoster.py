@@ -128,7 +128,7 @@ class TableBuilder(Builder):
 
     def reset_mode(self):
         for node in reversed(self.stack):
-            if node.tag == "td":
+            if node.tag in ("td", "th"):
                 self.mode = "in_cell"
                 return
             if node.tag == "tr":
@@ -136,6 +136,9 @@ class TableBuilder(Builder):
                 return
             if node.tag in ("tbody", "thead", "tfoot"):
                 self.mode = "in_table_body"
+                return
+            if node.tag == "caption":
+                self.mode = "in_caption"
                 return
             if node.tag == "table":
                 self.mode = "in_table"
@@ -343,10 +346,12 @@ class TableBuilder(Builder):
             if tag in ("td", "th"):
                 if self.in_table_scope(tag):
                     self.close_cell()
-            elif tag in ("table", "tr"):
+            elif tag in ("table", "tr", "tbody"):
                 if self.in_table_scope(tag):
                     self.close_cell()
                     self.process_end(tag)
+            elif tag == "caption":
+                pass  # parse error, ignore
             else:
                 self.end_tag(tag)
         else:
