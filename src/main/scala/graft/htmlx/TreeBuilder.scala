@@ -1265,7 +1265,12 @@ final class TreeBuilder extends TokenHandler {
       reconstructAfe()
       if (hasInScope("nobr")) {
         err("nobr in nobr")
-        adoptionAgency("nobr")
+        // the in-scope guard is STACK-based but the AAA's formatting-element
+        // search is AFE-after-last-marker-based; they disagree when the open
+        // nobr's AFE entry sits below a stale marker (e.g. a fostered
+        // marquee popped by </table>). AAA then finds no entry and, per
+        // spec, acts as "any other end tag" — which pops the open nobr.
+        if (!adoptionAgency("nobr")) anyOtherEndTag("nobr")
         reconstructAfe()
       }
       val e = insertElement(name, attrs)
