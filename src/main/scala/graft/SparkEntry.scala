@@ -75,6 +75,28 @@ object SparkEntry {
         .toDF("doc_id", "text", "kind", "ok")
         .orderBy("doc_id")
     }),
+    "robots_filter" -> ((s, dir) => {
+      // RFC 9309 URL gate: per-host robots.txt synthesized by rule class
+      // (deny-all / allow-all / longest-match allow-override / no row /
+      // wildcard-anchor on heavy host), pages filtered by
+      // Robots.filterAllowed; the oracle forward-models admission
+      // directly from doc_id.
+      import s.implicits._
+      val pages = docs(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, SynthCorpus.url(id))).toDF("doc_id", "url")
+      val hostRobots = (0 until 97).flatMap { n =>
+        val host = s"host-$n.example"
+        n % 4 match {
+          case 0 => Some((host, "User-agent: *\nDisallow: /\n"))
+          case 1 => Some((host, "User-agent: *\nDisallow:\n"))
+          case 2 => Some((host, "User-agent: *\nDisallow: /doc\nAllow: /doc/1\n"))
+          case _ => None // no robots.txt fetched: allowed
+        }
+      } :+ (("heavy.example", "User-agent: *\nDisallow: /*7$\n"))
+      val robots = hostRobots.toDF("host", "robots_txt")
+      graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "dedup_url" -> ((s, dir) => {
       // URL-level dedup: ids 4k..4k+3 are recrawls of one page under four
       // trivially-different URLs (host case, explicit default port, dot
@@ -415,6 +437,14 @@ object SparkEntry {
     "pdf_extract" ->
       """SELECT doc_id, text, 'pdf' AS kind, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "robots_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE CASE
+        |  WHEN doc_id % 10 < 3 THEN CAST(doc_id AS VARCHAR) NOT LIKE '%7'
+        |  WHEN (doc_id % 97) % 4 = 0 THEN false
+        |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
+        |  ELSE true END
+        |ORDER BY doc_id""".stripMargin,
     "dedup_url" ->
       """WITH grps AS (
         |  SELECT doc_id // 4 AS grp, min(doc_id) AS doc_id, count(*) AS captures

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import Robots.{parse, patternMatches}
+
+class RobotsSpec extends AnyFunSuite {
+
+  test("pattern matching: prefix, wildcard, anchor") {
+    assert(patternMatches("/", "/anything"))
+    assert(patternMatches("/admin", "/admin/panel"))
+    assert(!patternMatches("/admin", "/adm"))
+    assert(patternMatches("/a*/c", "/a/b/c/d"))
+    assert(patternMatches("/*.pdf", "/docs/x.pdf"))
+    assert(patternMatches("/*.pdf$", "/docs/x.pdf"))
+    assert(!patternMatches("/*.pdf$", "/docs/x.pdf?download=1"))
+    assert(patternMatches("*", "/whatever"))
+    assert(patternMatches("/a$", "/a"))
+    assert(!patternMatches("/a$", "/ab"))
+    // empty prefix matches everything — the "empty Disallow matches
+    // nothing" rule lives in Rules.allowed, which skips empty patterns
+    assert(patternMatches("", "/x"))
+  }
+
+  test("longest match wins; allow wins ties; default allow") {
+    val r = parse(
+      """User-agent: *
+        |Disallow: /private
+        |Allow: /private/public
+        |Disallow: /tmp/
+        |""".stripMargin, "graftbot")
+    assert(!r.allowed("/private/x"))
+    assert(r.allowed("/private/public/x"))  // longer allow wins
+    assert(r.allowed("/open"))
+    assert(!r.allowed("/tmp/y"))
+    assert(r.allowed("/tmp"))               // /tmp/ needs the slash
+  }
+
+  test("empty Disallow allows everything") {
+    val r = parse("User-agent: *\nDisallow:\n", "graftbot")
+    assert(r.allowed("/anything"))
+  }
+
+  test("specific agent group suppresses wildcard groups") {
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /no-bots
+        |""".stripMargin
+    val mine = parse(txt, "graftbot")
+    assert(mine.allowed("/ok") && !mine.allowed("/no-bots/x"))
+    val other = parse(txt, "otherbot")
+    assert(!other.allowed("/ok"))  // falls to the * group: all disallowed
+  }
+
+  test("multiple user-agent lines share a group; same-agent groups merge") {
+    val txt =
+      """User-agent: a
+        |User-agent: graftbot
+        |Disallow: /one
+        |
+        |User-agent: graftbot
+        |Disallow: /two
+        |""".stripMargin
+    val r = parse(txt, "graftbot")
+    assert(!r.allowed("/one/x") && !r.allowed("/two/y") && r.allowed("/three"))
+  }
+
+  test("comments, case-insensitive directives, unknown keys ignored") {
+    val r = parse(
+      """# robots for example.com
+        |USER-AGENT: GraftBot  # our crawler
+        |DISALLOW: /a
+        |Crawl-delay: 10
+        |Sitemap: https://x/sitemap.xml
+        |allow: /a/b
+        |""".stripMargin, "graftbot")
+    assert(!r.allowed("/a/z") && r.allowed("/a/b/z"))
+  }
+
+  test("missing or unparseable robots: everything allowed") {
+    assert(parse("", "g").allowed("/x"))
+    assert(parse("garbage without structure", "g").allowed("/x"))
+  }
+
+  test("Spark filter: co-partitioned by host, per-host compile") {
+    val spark = graft.pipeline.SparkEnv.session("local[4]", "robots-spec", 4)
+    try {
+      import spark.implicits._
+      val pages = Seq(
+        ("https://a.example/keep", 1L), ("https://a.example/private/x", 2L),
+        ("https://A.EXAMPLE/private/public/y", 3L),
+        ("https://b.example/anything", 4L),
+        ("https://c.example/no-robots", 5L)
+      ).toDF("url", "id")
+      val robots = Seq(
+        ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/public\n"),
+        ("b.example", "User-agent: *\nDisallow: /\n")
+      ).toDF("host", "robots_txt")
+      val kept = Robots.filterAllowed(pages, robots, "graftbot")
+        .select($"id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L, 5L))
+    } finally spark.stop()
+  }
+}
