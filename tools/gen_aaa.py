@@ -28,7 +28,7 @@ FORMATTING = ["a", "b", "big", "code", "em", "font", "i", "nobr", "s",
 SCOPE_BARRIERS = {"html", "marquee", "applet", "caption", "table", "td",
                   "th", "object", "template"}
 SPECIAL = {"div", "p", "marquee", "html", "body", "head", "address", "ul",
-           "li", "table", "button"}
+           "li", "table", "button", "form"}
 
 MARKER = "|MARKER|"
 
@@ -65,6 +65,7 @@ class Builder:
         self.html.append(self.body)
         self.stack = [self.html, self.body]
         self.afe = []  # entries: Node or MARKER
+        self.form_ptr = None
 
     # ------------------------------------------------------------ helpers
     def current(self):
@@ -95,7 +96,9 @@ class Builder:
         return n
 
     def generate_implied_ends(self, except_tag=None):
-        while self.current().tag == "p" and except_tag != "p":
+        # spec implied-end set ∩ this battery's alphabet: p, li (dd/dt/
+        # optgroup/option/rb/rp/rt/rtc are not generated here)
+        while self.current().tag in ("p", "li") and                 self.current().tag != except_tag:
             self.stack.pop()
 
     def close_p(self):
@@ -181,6 +184,12 @@ class Builder:
             if self.in_scope("p", extra_barriers=("button",)):
                 self.close_p()
             self.insert_element(tag)
+        elif tag == "form":
+            # ignored outright while the form element pointer is set
+            if self.form_ptr is None:
+                if self.in_scope("p", extra_barriers=("button",)):
+                    self.close_p()
+                self.form_ptr = self.insert_element("form")
         elif tag == "li":
             # the li start rule: walk the stack from the current node;
             # an open li is closed; a SPECIAL element other than
@@ -255,6 +264,15 @@ class Builder:
                 while self.stack:
                     if self.stack.pop().tag == "li":
                         break
+        elif tag == "form":
+            # the pointer form is REMOVED IN PLACE from the stack (nodes
+            # above it stay open) — the spec's unusual </form> semantics
+            node = self.form_ptr
+            self.form_ptr = None
+            if node is not None and self.in_scope("form"):
+                self.generate_implied_ends()
+                if node in self.stack:
+                    self.stack.remove(node)
         elif tag == "marquee":
             if self.in_scope("marquee"):
                 self.generate_implied_ends()
@@ -387,7 +405,7 @@ def main():
     rnd = random.Random(20260817)
     fmt_small = ["b", "i", "a", "nobr", "em", "u", "s", "font"]
     tags = fmt_small + ["div", "p", "span", "marquee", "ul", "li", "address",
-                        "button"]
+                        "button", "form"]
     texts = ["1", "2", "3", "4"]
     alphabet = ([f"<{t}>" for t in tags] + [f"</{t}>" for t in tags] + texts)
 
