@@ -75,6 +75,36 @@ object SparkEntry {
         .toDF("doc_id", "text", "kind", "ok")
         .orderBy("doc_id")
     }),
+    "sitemap_seeds" -> ((s, dir) => {
+      // URL-discovery leg: per doc, build a 3-entry sitemap (gzipped on
+      // odd ids, CDATA loc on %3==0, entity-bearing query on %3==1),
+      // parse it back through the tolerant scanner, and emit the seed
+      // rows. Oracle forward-models the locs/lastmods from doc_id.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val base = SynthCorpus.url(id)
+          val lastmod = f"2025-01-${(id % 28) + 1}%02d"
+          val loc0 = if (id % 3 == 0) s"<![CDATA[ $base ]]>" else base
+          val xml = graft.sources.Sitemaps.build(Seq(
+            (base + "/extra?a=1&b=2", ""),
+            (base, lastmod)
+          )).replace(s"<loc>$base</loc>", s"<loc>$loc0</loc>")
+          val bytes =
+            if (id % 2 == 1) {
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(xml.getBytes("UTF-8")); gz.finish()
+              bos.toByteArray
+            } else xml.getBytes("UTF-8")
+          val sm = graft.sources.Sitemaps.parse(bytes)
+          sm.entries.zipWithIndex.map { case (e, i) =>
+            (id, i, e.loc, e.lastmod, sm.isIndex)
+          }
+        }
+        .toDF("doc_id", "seed_idx", "loc", "lastmod", "is_index")
+        .orderBy("doc_id", "seed_idx")
+    }),
     "robots_filter" -> ((s, dir) => {
       // RFC 9309 URL gate: per-host robots.txt synthesized by rule class
       // (deny-all / allow-all / longest-match allow-override / no row /
@@ -437,6 +467,18 @@ object SparkEntry {
     "pdf_extract" ->
       """SELECT doc_id, text, 'pdf' AS kind, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sitemap_seeds" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
+        |      ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END) ||
+        |    '/doc/' || CAST(doc_id AS VARCHAR) AS base
+        |  FROM documents)
+        |SELECT doc_id, 0 AS seed_idx, base || '/extra?a=1&b=2' AS loc,
+        |       '' AS lastmod, false AS is_index FROM d
+        |UNION ALL
+        |SELECT doc_id, 1, base,
+        |       '2025-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'), false FROM d
+        |ORDER BY doc_id, seed_idx""".stripMargin,
     "robots_filter" ->
       """SELECT doc_id FROM documents
         |WHERE CASE
