@@ -184,6 +184,25 @@ object SparkEntry {
           graft.functions.UrlFunctions.url_canon(col("url")).as("canon"))
         .orderBy("doc_id")
     }),
+    "wet_roundtrip" -> ((s, dir) => {
+      // WET interchange roundtrip: documents.text → WARC/1.0 conversion
+      // record (member-gzip on odd ids) → streaming reader →
+      // byte-identical text + header check.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(SynthCorpus.warcTs(id).toInstant)
+          val file = graft.sources.Warc.buildWetFile(
+            Seq((SynthCorpus.url(id), iso, t)), gzipPerRecord = id % 2 == 1)
+          val rec = graft.sources.Warc.records(file)
+            .find(_.warcType == "conversion").get
+          (id, new String(rec.payload, "UTF-8"),
+            rec.targetUri == SynthCorpus.url(id) && rec.date == iso)
+        }
+        .toDF("doc_id", "text", "hdr_ok")
+        .orderBy("doc_id")
+    }),
     "warc_extract" -> ((s, dir) => {
       // WARC leg roundtrip: documents.text → synthetic page → WARC/1.0
       // response record (member-gzip on odd ids) → graft.sources.Warc
@@ -506,6 +525,9 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 4 = 1 THEN '/a/doc/' ELSE '/doc/' END) ||
         |  CAST(doc_id AS VARCHAR) ||
         |  (CASE WHEN doc_id % 7 IN (0, 1) THEN '?x=1' ELSE '' END) AS canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "wet_roundtrip" ->
+      """SELECT doc_id, text, true AS hdr_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "warc_extract" ->
       """SELECT doc_id,

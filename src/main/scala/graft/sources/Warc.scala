@@ -59,6 +59,39 @@ object Warc {
     out.toByteArray
   }
 
+  /** WET-style conversion record: extracted plain text for a page — the
+    * Common-Crawl interchange format for exactly this pipeline's output. */
+  def buildConversion(url: String, dateIso: String, text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val id = f"<urn:graft:conv:${scala.util.hashing.MurmurHash3.stringHash(url)}%08x>"
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      s"WARC-Record-ID: $id\r\n" +
+      s"WARC-Date: $dateIso\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+    val out = new ByteArrayOutputStream(head.length + body.length + 4)
+    out.write(head); out.write(body)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  /** A WET file: warcinfo + one conversion record per (url, dateIso, text). */
+  def buildWetFile(records: Seq[(String, String, String)],
+                   gzipPerRecord: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def emit(rec: Array[Byte]): Unit =
+      if (gzipPerRecord) {
+        val gz = new GZIPOutputStream(out)
+        gz.write(rec); gz.finish()
+      } else out.write(rec)
+    val date = records.headOption.map(_._2).getOrElse("2025-01-01T00:00:00Z")
+    emit(buildWarcinfo(date))
+    records.foreach { case (url, d, text) => emit(buildConversion(url, d, text)) }
+    out.toByteArray
+  }
+
   private def buildWarcinfo(dateIso: String): Array[Byte] = {
     val body = "software: graft-extract\r\nformat: WARC File Format 1.0\r\n".getBytes("ISO-8859-1")
     val head = ("WARC/1.0\r\n" +

@@ -60,6 +60,40 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("WET conversion records roundtrip; WetSink writes readable segments") {
+    // writer-level roundtrip
+    val wet = Warc.buildWetFile(Seq(
+      ("https://a.example/1", "2025-01-01T00:00:00Z", "first text β"),
+      ("https://a.example/2", "2025-01-02T00:00:00Z", "")), gzipPerRecord = true)
+    val convs = Warc.records(wet).filter(_.warcType == "conversion").toSeq
+    assert(convs.map(r => new String(r.payload, "UTF-8")) == Seq("first text β", ""))
+    assert(convs.map(_.targetUri) == Seq("https://a.example/1", "https://a.example/2"))
+
+    // Spark sink roundtrip
+    val spark = graft.pipeline.SparkEnv.session("local[2]", "wet-spec", 2)
+    try {
+      import spark.implicits._
+      val df = (0 until 30).map(i =>
+        (s"https://h$i.example/doc/$i", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
+          s"text body number $i")).toDF("url", "warc_ts", "text").repartition(3)
+      val dir = java.nio.file.Files.createTempDirectory("wetsink").toString
+      val n = WetSink.write(df, dir)
+      assert(n == 30)
+      val back = WarcSource.read(spark, dir + "/*.warc.wet.gz")
+      // conversion records have no embedded HTTP head: payload = text,
+      // but WarcSource keeps only warcType == "response"; read raw instead
+      val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gz"))
+      assert(files.length == 3)
+      val texts = files.flatMap { f =>
+        Warc.records(java.nio.file.Files.readAllBytes(f.toPath))
+          .filter(_.warcType == "conversion")
+          .map(r => new String(r.payload, "UTF-8"))
+      }.toSet
+      assert(texts == (0 until 30).map(i => s"text body number $i").toSet)
+      assert(back.count() == 0) // responses only, by design
+    } finally spark.stop()
+  }
+
   test("warc file through the full salted extraction pipeline, byte-identical") {
     import graft.pipeline.{ExtractPipeline, SynthCorpus}
     val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-pipe", 2)
