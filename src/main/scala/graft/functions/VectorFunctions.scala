@@ -104,7 +104,11 @@ object VectorFunctions {
         // centroid self-dot must cover ALL its elements (parity with the
         // window formulation's norm(cvec) when lengths differ)
         while (j < c.numElements()) { val cj = c.getDouble(j); cc += cj * cj; j += 1 }
-        val d = dotVC / (vn * math.sqrt(cc))
+        var d = dotVC / (vn * math.sqrt(cc))
+        // NaN (zero-norm vector or centroid) ranks FIRST, as in the window
+        // formulation's descending sort (Spark sorts NaN greatest): such
+        // rows land in the lowest-index NaN cell instead of being dropped
+        if (java.lang.Double.isNaN(d)) d = Double.PositiveInfinity
         if (d > best) { best = d; bestIdx = ci }
         ci += 1
       }
@@ -153,6 +157,7 @@ object VectorFunctions {
            |    double $cj = $c.getDouble($j); $cc += $cj * $cj;
            |  }
            |  double $d = $dotVC / ($vn * java.lang.Math.sqrt($cc));
+           |  if (java.lang.Double.isNaN($d)) $d = java.lang.Double.POSITIVE_INFINITY;
            |  if ($d > $best) { $best = $d; $bestIdx = $ci; }
            |}
            |${ev.value} = $bestIdx;
@@ -163,7 +168,9 @@ object VectorFunctions {
       copy(left = l, right = r)
   }
 
-  /** 0-based index of the max-cosine centroid (ties → lowest index). */
+  /** 0-based index of the max-cosine centroid (ties → lowest index;
+    * NaN cosines rank first, matching a descending sort). −1 only when
+    * the centroid array is empty. */
   def vec_argmax_cos(vec: Column, cents: Column): Column =
     toCol(ArgmaxCos(toExpr(vec), toExpr(cents)))
 }

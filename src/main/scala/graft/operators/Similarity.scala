@@ -68,19 +68,31 @@ object Similarity {
     * shuffles (round 2's crossJoin + row_number() window moved
     * |corpus|×nCentroids full-vector rows through an exchange — the IVF
     * scale-killer at 100 TB, VERDICT r02 "What's wrong" #2). Tie rule
-    * (lowest cid on equal cosine) and float math are bit-identical to the
+    * (lowest cid on equal cosine), NaN-ranks-first (a zero-norm vector or
+    * centroid yields NaN cosine; the window's descending sort put NaN
+    * first, so such rows landed in the lowest-cid NaN cell — the kernel
+    * replicates that instead of dropping them) and float math are
+    * bit-identical to the
     * window formulation — see functions.VectorFunctions.ArgmaxCos.
-    * `c` must have (nid, nvec); `cs` must have (cid, cvec) with cid = 0..n−1.
+    * `c` must have (nid, nvec); `cs` must have (cid, cvec) with distinct
+    * orderable cids (need not be contiguous or 0-based).
     * Gated by PlanSpec: no shuffle, no window on the corpus branch. */
   private[graft] def assignCells(c: DataFrame, cs: DataFrame): DataFrame = {
-    // one row, cvecs ordered by cid so array index == cid
-    val centArr = cs.select(struct(col("cid"), col("cvec")).as("sc"))
-      .agg(transform(array_sort(collect_list(col("sc"))),
-        x => x.getField("cvec")).as("cents"))
+    // one row: cvecs + their cids, both ordered by cid — the kernel's
+    // array index i maps back to the ACTUAL cid via cids[i], so cids need
+    // not be contiguous (a Lloyd iteration can empty a cell and drop its
+    // cid; monotonically_increasing_id seeds need not start at 0) and the
+    // cells↔probes join below always agrees (ADVICE r03 #1)
+    val sorted = array_sort(collect_list(struct(col("cid"), col("cvec"))))
+    val centArr = cs.agg(
+      transform(sorted, x => x.getField("cvec")).as("cents"),
+      transform(sorted, x => x.getField("cid")).as("cids"))
     c.crossJoin(broadcast(centArr))
       .select(col("nid"), col("nvec"),
-        graft.functions.VectorFunctions.vec_argmax_cos(col("nvec"), col("cents"))
-          .cast("long").as("cid"))
+        element_at(col("cids"),
+          graft.functions.VectorFunctions.vec_argmax_cos(col("nvec"), col("cents"))
+            + 1)
+          .as("cid"))
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the

@@ -21,15 +21,16 @@ final case class WarcRecord(
   * member-per-record gzip layout (JDK GZIPInputStream consumes
   * concatenated members transparently).
   *
-  * Writer: deterministic (record ids derived from the target URI hash, no
-  * clock/randomness) so tests and oracle queries can rebuild files
-  * byte-identically.
+  * Writer: deterministic (record ids derived from the target URI + date +
+  * sequence-number hashes, no clock/randomness) so tests and oracle
+  * queries can rebuild files byte-identically.
   *
   * Scale path (100 TB): Common-Crawl ships ~1 GB `.warc.gz` segments with
   * one gzip member per record; the standard Spark pattern is one task per
-  * segment file ([[Warc.read]] via the binaryFile source keeps that
-  * shape). Records stream off the decompressor — a task never holds more
-  * than one record's payload (caps below) in memory at once.
+  * segment file ([[WarcSource.read]] opens each path as a FileSystem
+  * stream — no whole-file materialization, no size ceiling). Records
+  * stream off the decompressor — a task never holds more than one
+  * record's payload (caps below) in memory at once.
   */
 object Warc {
 
@@ -38,14 +39,28 @@ object Warc {
 
   // ------------------------------------------------------------- writing
 
+  /** Deterministic record id. ISO 28500 requires ids to be globally
+    * unique, so the URI hash alone is not enough (recrawls of one URL in
+    * one file would collide — ADVICE r03 #4): the capture date and a
+    * caller-supplied sequence number are mixed in. Still clock- and
+    * randomness-free, so built files stay byte-reproducible. */
+  private def recordId(kind: String, url: String, dateIso: String, seq: Long): String = {
+    val u = if (url == null) "" else url
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(u)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s"$dateIso#$seq")
+    f"<urn:graft:$kind$h1%08x-$h2%08x>"
+  }
+
   /** Deterministic WARC/1.0 response record with an embedded HTTP/1.1
-    * response head. `dateIso` example: 2025-01-01T00:00:00Z. */
-  def buildResponse(url: String, dateIso: String, body: Array[Byte]): Array[Byte] = {
+    * response head. `dateIso` example: 2025-01-01T00:00:00Z. `seq` makes
+    * the record id unique among records sharing (url, date). */
+  def buildResponse(url: String, dateIso: String, body: Array[Byte],
+                    seq: Long = 0L): Array[Byte] = {
     val http = ("HTTP/1.1 200 OK\r\n" +
       "Content-Type: text/html; charset=UTF-8\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
     val payloadLen = http.length + body.length
-    val id = f"<urn:graft:${scala.util.hashing.MurmurHash3.stringHash(url)}%08x>"
+    val id = recordId("", url, dateIso, seq)
     val head = ("WARC/1.0\r\n" +
       "WARC-Type: response\r\n" +
       s"WARC-Record-ID: $id\r\n" +
@@ -61,9 +76,10 @@ object Warc {
 
   /** WET-style conversion record: extracted plain text for a page — the
     * Common-Crawl interchange format for exactly this pipeline's output. */
-  def buildConversion(url: String, dateIso: String, text: String): Array[Byte] = {
+  def buildConversion(url: String, dateIso: String, text: String,
+                      seq: Long = 0L): Array[Byte] = {
     val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val id = f"<urn:graft:conv:${scala.util.hashing.MurmurHash3.stringHash(url)}%08x>"
+    val id = recordId("conv:", url, dateIso, seq)
     val head = ("WARC/1.0\r\n" +
       "WARC-Type: conversion\r\n" +
       s"WARC-Record-ID: $id\r\n" +
@@ -84,11 +100,15 @@ object Warc {
     def emit(rec: Array[Byte]): Unit =
       if (gzipPerRecord) {
         val gz = new GZIPOutputStream(out)
-        gz.write(rec); gz.finish()
+        // close(), not finish(): releases the native Deflater immediately
+        // (BAOS close is a no-op, so the member boundary is unaffected)
+        gz.write(rec); gz.close()
       } else out.write(rec)
     val date = records.headOption.map(_._2).getOrElse("2025-01-01T00:00:00Z")
     emit(buildWarcinfo(date))
-    records.foreach { case (url, d, text) => emit(buildConversion(url, d, text)) }
+    records.iterator.zipWithIndex.foreach { case ((url, d, text), i) =>
+      emit(buildConversion(url, d, text, i.toLong))
+    }
     out.toByteArray
   }
 
@@ -113,11 +133,13 @@ object Warc {
     def emit(rec: Array[Byte]): Unit =
       if (gzipPerRecord) {
         val gz = new GZIPOutputStream(out)
-        gz.write(rec); gz.finish()
+        gz.write(rec); gz.close()
       } else out.write(rec)
     val date = records.headOption.map(_._2).getOrElse("2025-01-01T00:00:00Z")
     emit(buildWarcinfo(date))
-    records.foreach { case (url, d, body) => emit(buildResponse(url, d, body)) }
+    records.iterator.zipWithIndex.foreach { case ((url, d, body), i) =>
+      emit(buildResponse(url, d, body, i.toLong))
+    }
     out.toByteArray
   }
 

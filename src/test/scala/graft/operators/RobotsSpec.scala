@@ -84,7 +84,31 @@ class RobotsSpec extends AnyFunSuite {
     assert(parse("garbage without structure", "g").allowed("/x"))
   }
 
-  test("Spark filter: co-partitioned by host, per-host compile") {
+  test("empty User-agent value matches nothing (ADVICE r03 #5)") {
+    // a stray `User-agent:` line must not become a match-everything
+    // specific group that suppresses the legitimate `*` groups
+    val txt =
+      """User-agent:
+        |Disallow: /stray
+        |
+        |User-agent: *
+        |Disallow: /blocked
+        |""".stripMargin
+    val r = parse(txt, "graftbot")
+    assert(r.allowed("/stray/x"))     // empty-UA group never selected
+    assert(!r.allowed("/blocked/x"))  // the * group still applies
+  }
+
+  test("hostOf: lowercased authority, empty when no scheme") {
+    import Robots.hostOf
+    assert(hostOf("https://A.Example/x?y#z") == "a.example")
+    assert(hostOf("http://h.example") == "h.example")
+    assert(hostOf("https://h.example:8080/p") == "h.example:8080")
+    assert(hostOf("/relative/path") == "")
+  }
+
+  private def checkFilter(f: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
     val spark = graft.pipeline.SparkEnv.session("local[4]", "robots-spec", 4)
     try {
       import spark.implicits._
@@ -98,9 +122,19 @@ class RobotsSpec extends AnyFunSuite {
         ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/public\n"),
         ("b.example", "User-agent: *\nDisallow: /\n")
       ).toDF("host", "robots_txt")
-      val kept = Robots.filterAllowed(pages, robots, "graftbot")
+      val kept = f(pages, robots)
         .select($"id").as[Long].collect().sorted.toSeq
       assert(kept == Seq(1L, 3L, 5L))
+      assert(f(pages, robots).columns.toSeq == Seq("url", "id"),
+        "helper columns must not leak into the output schema")
     } finally spark.stop()
+  }
+
+  test("Spark filter (broadcast path): narrow per-host gate") {
+    checkFilter((p, r) => Robots.filterAllowed(p, r, "graftbot"))
+  }
+
+  test("Spark filter (salted join path): same results") {
+    checkFilter((p, r) => Robots.filterAllowedJoin(p, r, "graftbot", saltBuckets = 4))
   }
 }

@@ -104,6 +104,38 @@ class PlanSpec extends AnyFunSuite {
       s"centroid array should ride a broadcast:\n$plan")
   }
 
+  test("robots gate never shuffles the corpus (VERDICT r03 #1)") {
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$tmp/pages").select($"url")
+    val robots = Seq(("host-1.example", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    // broadcast path: compiled rules ride the task closure — the corpus
+    // plan must contain NO exchange at all (scan → narrow typed filter)
+    val plan = planOf(graft.operators.Robots.filterAllowed(pages, robots, "graftbot"))
+    assert(!plan.contains("Exchange"),
+      s"broadcast robots gate must be a narrow pass:\n$plan")
+    assert(!plan.contains("hashpartitioning(__host"),
+      s"raw-host hash partitioning is the r03 skew-killer:\n$plan")
+  }
+
+  test("robots join path salts the host key (no raw-host exchange)") {
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$tmp/pages").select($"url")
+    val robots = Seq(("host-1.example", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val df = graft.operators.Robots.filterAllowedJoin(
+      pages, robots, "graftbot", saltBuckets = 8)
+    val plan = planOf(df)
+    // every hash exchange that involves __host must also carry __salt —
+    // a 30%-heavy host then spreads over saltBuckets tasks
+    val rawHost = plan.linesIterator.filter(l =>
+      l.contains("hashpartitioning(") && l.contains("__host") &&
+        !l.contains("__salt"))
+    assert(rawHost.isEmpty,
+      s"exchange partitions on raw __host without salt:\n$plan")
+    df.count() // and it still computes
+  }
+
   test("q3 join broadcasts the filtered customer dimension") {
     val df = graft.SparkEntry.queriesForPlanCheck("q3_top10")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)

@@ -123,6 +123,30 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("streaming source: nested dirs, hidden files skipped, early stop") {
+    val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-stream", 2)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("warcwalk")
+      val sub = java.nio.file.Files.createDirectory(dir.resolve("crawl=0"))
+      val many = (0 until 500).map(i =>
+        (s"https://w.example/p/$i", "2025-02-03T04:05:06Z",
+          s"<html><body><p>page $i</p>".getBytes("UTF-8")))
+      java.nio.file.Files.write(sub.resolve("seg-a.warc.gz"),
+        Warc.buildFile(many.take(250), gzipPerRecord = true))
+      java.nio.file.Files.write(sub.resolve("seg-b.warc"),
+        Warc.buildFile(many.drop(250)))
+      java.nio.file.Files.write(sub.resolve("_SUCCESS"), Array.empty[Byte])
+      java.nio.file.Files.write(sub.resolve(".hidden.warc"),
+        "not a warc".getBytes("UTF-8"))
+      val segs = WarcSource.listSegments(spark, dir.toString)
+      assert(segs.size == 2 && segs.forall(_.contains("seg-")),
+        s"directory walk wrong: $segs")
+      assert(WarcSource.read(spark, dir.toString).count() == 500)
+      // early termination closes mid-file without error (limit < file rows)
+      assert(WarcSource.read(spark, dir.toString).limit(7).collect().length == 7)
+    } finally spark.stop()
+  }
+
   test("Spark read: warc.gz file to (url, warc_ts, html) rows") {
     val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-spec", 2)
     try {
