@@ -224,6 +224,40 @@ object SparkEntry {
         .toDF("doc_id", "text", "hdr_ok")
         .orderBy("doc_id")
     }),
+    "charset_decode" -> ((s, dir) => {
+      // Crawl-grade decode ladder end-to-end (parseOne decodeLadder=true —
+      // htmlx.CharsetSniff): per doc the page is encoded one of four ways
+      // by id — plain UTF-8 / UTF-8+BOM / windows-1252 with declared meta
+      // charset / undeclared cp1252 — and must extract byte-identically to
+      // the UTF-8 page while reporting the charset the ladder used. The
+      // é/ï/curly-quote suffix makes the legacy legs real: multi-byte in
+      // UTF-8, strict-UTF-8-refuting high bytes in cp1252. The oracle
+      // forward-models both text and charset label from doc_id.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val t2 = t + " café naïve “quoted” précis"
+          val html = SynthCorpus.pageHtml(id, t2)
+          // the id%13 BOM char is unmappable in cp1252 (and the UTF-8 meta
+          // label would be a lie) — the legacy legs strip/replace them
+          val bytes = (id % 4) match {
+            case 0 => html.getBytes("UTF-8")
+            case 1 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+              html.getBytes("UTF-8")
+            case 2 => html.replace("\uFEFF", "")
+              .replace("charset=\"utf-8\"", "charset=\"windows-1252\"")
+              .getBytes("windows-1252")
+            case _ => html.replace("\uFEFF", "")
+              .replace("<meta charset=\"utf-8\">", "<meta name=\"gen\">")
+              .getBytes("windows-1252")
+          }
+          val doc = ExtractPipeline.parseOne(SynthCorpus.url(id), bytes,
+            decodeLadder = true)
+          (id, doc.text, doc.detected_charset, doc.ok)
+        }
+        .toDF("doc_id", "text", "charset", "ok")
+        .orderBy("doc_id")
+    }),
     "extract_title" -> ((s, dir) => {
       pages(s, dir).select(
           regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
@@ -533,6 +567,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text,
         |  true AS hdr_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "charset_decode" ->
+      """SELECT doc_id,
+        |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+        |    ' café naïve “quoted” précis' AS text,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'windows-1252-fallback' END AS charset,
+        |  true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "extract_title" ->
       """SELECT doc_id,

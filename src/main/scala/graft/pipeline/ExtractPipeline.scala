@@ -46,9 +46,18 @@ object ExtractPipeline {
     * reused across rows (scratch persists; state reset per parse).
     * Crawled bodies are content-sniffed: %PDF- magic routes to the PDF leg
     * (graft.pdfx — the north_rule's "PDF/layout parse" pipeline member);
-    * everything else is HTML. */
+    * everything else is HTML.
+    *
+    * `decodeLadder = true` opts into crawl-grade charset handling
+    * (htmlx.CharsetSniff: BOM → strict UTF-8 → declared single-byte →
+    * windows-1252 fallback) and reports the charset the ladder actually
+    * used in `detected_charset`. The DEFAULT stays hard UTF-8 with U+FFFD
+    * replacement — byte-identical to the reference's model
+    * (SimpleHtmlParser.cs:35) and the north-rule invariant; real crawls are
+    * ~15–20% non-UTF-8, which is what the opt-in is for. */
   def parseOne(url: String, html: Array[Byte],
-               engine: HtmlParser.Engine = new HtmlParser.Engine): ExtractedDoc = {
+               engine: HtmlParser.Engine = new HtmlParser.Engine,
+               decodeLadder: Boolean = false): ExtractedDoc = {
     try {
       if (html == null) return ExtractedDoc(url, "", Nil, 0, 0, null, Seq("null html"), ok = false)
       if (html.length > maxHtmlBytes)
@@ -67,11 +76,18 @@ object ExtractPipeline {
         return ExtractedDoc(url, pdf.text, spans.toSeq, pdf.text.length, pdf.lines.length,
           "pdf", if (pdf.ok) Nil else Seq("pdf extraction failed"), ok = pdf.ok)
       }
-      val parsed = engine.parseBytes(html)
+      val (parsed, charset) =
+        if (decodeLadder) {
+          val (str, cs) = graft.htmlx.CharsetSniff.decode(html)
+          (engine.parse(str), cs)
+        } else {
+          val p = engine.parseBytes(html)
+          (p, p.detectedCharset.orNull)
+        }
       val ex = Extractor.extract(parsed.doc)
       ExtractedDoc(url, ex.text,
         ex.spans.map(s => SpanRow(s.start, s.end, s.path)).toSeq,
-        ex.charCount, ex.nodeCount, parsed.detectedCharset.orNull,
+        ex.charCount, ex.nodeCount, charset,
         parsed.errors, ok = true)
     } catch {
       case t: Throwable =>
@@ -82,14 +98,16 @@ object ExtractPipeline {
   }
 
   /** Typed parse stage over pre-bucketed pages; one reused engine per
-    * partition (the reference's biggest throughput lever, SURVEY.md §4.1). */
-  def parseStage(pages: DataFrame)(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    * partition (the reference's biggest throughput lever, SURVEY.md §4.1).
+    * `decodeLadder` opts the whole stage into CharsetSniff decoding. */
+  def parseStage(pages: DataFrame, decodeLadder: Boolean = false)
+                (implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
     pages.select($"url", $"html")
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         val engine = new HtmlParser.Engine
-        rows.map { case (url, html) => parseOne(url, html, engine) }
+        rows.map { case (url, html) => parseOne(url, html, engine, decodeLadder) }
       }
   }
 

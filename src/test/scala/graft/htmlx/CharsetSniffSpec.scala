@@ -62,6 +62,31 @@ class CharsetSniffSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline parseOne decodeLadder: cp1252 and BOM pages end-to-end") {
+    import graft.pipeline.{ExtractPipeline, SynthCorpus}
+    val id = 42L
+    val t = "plain ascii words plus caf\u00e9 \u201cquoted\u201d tail one two three four five six"
+    val html = SynthCorpus.pageHtml(id, t)
+    val expected = SynthCorpus.expectedExtract(id, t)
+    // declared windows-1252
+    val declared = html.replace("charset=\"utf-8\"", "charset=\"windows-1252\"")
+      .getBytes("windows-1252")
+    val d1 = ExtractPipeline.parseOne(SynthCorpus.url(id), declared, decodeLadder = true)
+    assert(d1.ok && d1.text == expected && d1.detected_charset == "windows-1252")
+    // undeclared cp1252 -> fallback
+    val undeclared = html.replace("<meta charset=\"utf-8\">", "<meta name=\"g\">")
+      .getBytes("windows-1252")
+    val d2 = ExtractPipeline.parseOne(SynthCorpus.url(id), undeclared, decodeLadder = true)
+    assert(d2.ok && d2.text == expected && d2.detected_charset == "windows-1252-fallback")
+    // UTF-8 with BOM
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ html.getBytes("UTF-8")
+    val d3 = ExtractPipeline.parseOne(SynthCorpus.url(id), bom, decodeLadder = true)
+    assert(d3.ok && d3.text == expected && d3.detected_charset == "utf-8")
+    // default path on the same UTF-8 bytes is unchanged (reference parity)
+    val d4 = ExtractPipeline.parseOne(SynthCorpus.url(id), html.getBytes("UTF-8"))
+    assert(d4.ok && d4.text == expected)
+  }
+
   test("sniffed text parses: mislabeled legacy page through the engine") {
     val bytes = "<!DOCTYPE html><body><p>".getBytes("ASCII") ++
       Array[Byte](0x93.toByte) ++ "quoted".getBytes("ASCII") ++ Array[Byte](0x94.toByte) ++
