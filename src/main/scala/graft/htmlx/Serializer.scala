@@ -36,6 +36,11 @@ object Serializer {
           attrsSorted(e).foreach { case (k, v) =>
             sb.append("| ").append("  " * (depth + 1)).append(k).append("=\"").append(v).append("\"\n")
           }
+          if (e.templateContents != null) {
+            // html5lib format: template contents under a "content" line
+            sb.append("| ").append("  " * (depth + 1)).append("content\n")
+            e.templateContents.children.foreach(walk(_, depth + 2))
+          }
           e.children.foreach(walk(_, depth + 1))
         case t: HText =>
           sb.append(ind).append('"').append(t.text).append("\"\n")
@@ -100,7 +105,10 @@ object Serializer {
             }
           }
           val childRaw = e.isHtmlNs && rawText.contains(e.name)
-          e.children.foreach(walk(_, childRaw))
+          // spec: the HTML serialization of a template element is its
+          // template CONTENTS (reparsing routes them back into contents)
+          if (e.templateContents != null) e.templateContents.children.foreach(walk(_, childRaw))
+          else e.children.foreach(walk(_, childRaw))
           sb.append("</").append(e.name).append('>')
         }
       case t: HText => sb.append(if (raw) t.text else esc(t.text))

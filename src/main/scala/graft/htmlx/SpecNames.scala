@@ -19,8 +19,8 @@ object SpecNames {
     "main", "marquee", "menu", "meta", "nav", "noembed", "noframes",
     "noscript", "object", "ol", "p", "param", "plaintext", "pre", "script",
     "section", "select", "source", "style", "summary", "table", "tbody",
-    "td", "textarea", "tfoot", "th", "thead", "title", "tr", "track", "ul",
-    "wbr", "xmp")
+    "td", "template", "textarea", "tfoot", "th", "thead", "title", "tr",
+    "track", "ul", "wbr", "xmp")
 
   val specialSvg: Set[String] = Set("foreignObject", "desc", "title")
   val specialMathml: Set[String] = Set("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
@@ -41,9 +41,15 @@ object SpecNames {
   val impliedEnd: Set[String] = Set("dd", "dt", "li", "option", "optgroup", "p",
     "rb", "rp", "rt", "rtc")
 
+  /** "Generate all implied end tags thoroughly" additions (spec 13.2.6.3:
+    * the implied set plus the table-structure names; used by </template>). */
+  val impliedEndThorough: Set[String] = impliedEnd ++ Set(
+    "caption", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr")
+
   /** Default scope barrier (plus foreign integration points). */
   val defaultScope: Set[String] = Set(
-    "applet", "caption", "html", "table", "td", "th", "marquee", "object")
+    "applet", "caption", "html", "table", "td", "th", "marquee", "object",
+    "template")
 
   /** Foreign-content breakout start tags (spec "in foreign content"). */
   val breakout: Set[String] = Set(

@@ -3,7 +3,9 @@ package graft.htmlx
 import scala.collection.mutable.ArrayBuffer
 
 /** Insertion modes (spec 13.2.4.1; reference: Core/InsertionMode.cs:29-74 —
-  * same set, no template mode: the reference predates <template>). */
+  * same set PLUS InTemplate, which the reference predates: this engine
+  * implements the spec's "in template" mode so template innards parse into
+  * a separate contents fragment instead of leaking into the body). */
 object Mode {
   final val Initial = 0
   final val BeforeHtml = 1
@@ -26,6 +28,7 @@ object Mode {
   final val AfterAfterBody = 18
   final val AfterAfterFrameset = 19
   final val Text = 20
+  final val InTemplate = 21
 }
 
 /** HTML5 tree construction (spec 13.2.6), fresh implementation.
@@ -70,6 +73,19 @@ final class TreeBuilder extends TokenHandler {
   private var tableTextPending = false
   private val tableText = new java.lang.StringBuilder
 
+  /** Stack of template insertion modes (spec 13.2.4.1). */
+  private val templateModes = new ArrayBuffer[Int](4)
+  private def hasTemplateOnStack: Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      if ((stack(i).ns eq Ns.html) && stack(i).name == "template") return true
+      i -= 1
+    }
+    false
+  }
+  private def popTemplateMode(): Unit =
+    if (templateModes.nonEmpty) templateModes.remove(templateModes.length - 1)
+
   var detectedCharset: String = null
   val errors = new ArrayBuffer[String](8)
   private val maxErrors = 32
@@ -101,6 +117,9 @@ final class TreeBuilder extends TokenHandler {
     // the context (the context itself in this name-only API) — nested
     // <form> start tags inside a form fragment are then ignored
     if ((ns eq Ns.html) && name == "form") formElem = contextEntry.node
+    // spec 13.4: a template context seeds the template-modes stack so
+    // resetInsertionMode lands in "in template"
+    if ((ns eq Ns.html) && name == "template") templateModes += InTemplate
     resetInsertionMode()
     if (ns eq Ns.html) name match {
       case "title" | "textarea" => tokenizer.seedContentModel(ContentModel.Rcdata, name)
@@ -122,6 +141,13 @@ final class TreeBuilder extends TokenHandler {
     stack += new StackEntry(name, ns, node)
   private def pop(): StackEntry = stack.remove(stack.length - 1)
 
+  /** A template element's insertion parent is its contents fragment
+    * (spec 13.2.6.1 final step: "if the adjusted insertion location is
+    * inside a template element, let it instead be inside the template
+    * element's template contents"). */
+  private def asInsertionParent(e: HElement): HParent =
+    if (e.templateContents != null) e.templateContents else e
+
   /** Appropriate place for inserting a node (spec 13.2.6.1). Returns
     * (parent, before-or-null). */
   private def insertionPlace(overrideTarget: HElement = null): (HParent, HNode) = {
@@ -129,17 +155,9 @@ final class TreeBuilder extends TokenHandler {
     val tn = if (overrideTarget != null) null else current.name
     val targetName = if (overrideTarget != null) targetNameOf(overrideTarget) else tn
     if (fosterEnabled && (targetName == "table" || targetName == "tbody" ||
-        targetName == "tfoot" || targetName == "thead" || targetName == "tr")) {
-      // find last table on the stack
-      var i = stack.length - 1
-      while (i >= 0 && !(stack(i).name == "table" && (stack(i).ns eq Ns.html))) i -= 1
-      if (i < 0) (stack(0).node, null) // fragment: root
-      else {
-        val table = stack(i).node
-        if (table.parent != null) (table.parent, table)
-        else (stack(i - 1).node, null)
-      }
-    } else (target, null)
+        targetName == "tfoot" || targetName == "thead" || targetName == "tr"))
+      fosterPlaceForTable()
+    else (asInsertionParent(target), null)
   }
 
   private def targetNameOf(e: HElement): String = if (e.ns eq Ns.html) e.name else ""
@@ -156,6 +174,7 @@ final class TreeBuilder extends TokenHandler {
 
   private def insertElement(name: String, attrs: AttrList, ns: String = Ns.html): HElement = {
     val e = new HElement(name, ns, attrs.clone)
+    if ((ns eq Ns.html) && name == "template") e.templateContents = new HFragment
     insertNodeAt(insertionPlace(), e)
     if (stack.length < maxStackDepth) push(name, ns, e)
     else err("tree depth limit reached")
@@ -254,7 +273,8 @@ final class TreeBuilder extends TokenHandler {
     while (i >= 0) {
       val e = stack(i)
       if ((e.ns eq Ns.html) && e.name == name) return true
-      if ((e.ns eq Ns.html) && (e.name == "html" || e.name == "table")) return false
+      if ((e.ns eq Ns.html) &&
+          (e.name == "html" || e.name == "table" || e.name == "template")) return false
       i -= 1
     }
     false
@@ -303,6 +323,16 @@ final class TreeBuilder extends TokenHandler {
     while (go && stack.nonEmpty) {
       val e = current
       if ((e.ns eq Ns.html) && impliedEnd.contains(e.name) && e.name != except) pop()
+      else go = false
+    }
+  }
+
+  /** "Generate all implied end tags thoroughly" (spec 13.2.6.3; </template>). */
+  private def generateImpliedEndTagsThoroughly(): Unit = {
+    var go = true
+    while (go && stack.nonEmpty) {
+      val e = current
+      if ((e.ns eq Ns.html) && impliedEndThorough.contains(e.name)) pop()
       else go = false
     }
   }
@@ -492,7 +522,7 @@ final class TreeBuilder extends TokenHandler {
       if (fosterTargets(caName)) {
         val place = fosterPlaceForTable()
         insertNodeAt(place, lastNode)
-      } else commonAncestor.node.appendChild(lastNode)
+      } else asInsertionParent(commonAncestor.node).appendChild(lastNode)
       // new element cloning formatting element, adopts furthest block children
       val clone2 = new HElement(fmtEntry.name, Ns.html, fmtEntry.attrs.clone)
       furthestBlock.node.moveChildrenTo(clone2)
@@ -516,14 +546,29 @@ final class TreeBuilder extends TokenHandler {
   private def fosterTargets(name: String): Boolean =
     name == "table" || name == "tbody" || name == "tfoot" || name == "thead" || name == "tr"
 
+  /** Foster-parenting location (spec 13.2.6.1 steps 2.1-2.6): the last
+    * template WINS over the last table when it sits lower on the stack —
+    * misplaced table content inside a template lands in its contents, not
+    * before an outer table. */
   private def fosterPlaceForTable(): (HParent, HNode) = {
+    var lastTable = -1
+    var lastTemplate = -1
     var i = stack.length - 1
-    while (i >= 0 && !(stack(i).name == "table" && (stack(i).ns eq Ns.html))) i -= 1
-    if (i < 0) (stack(0).node, null)
+    while (i >= 0 && (lastTable < 0 || lastTemplate < 0)) {
+      val e = stack(i)
+      if (e.ns eq Ns.html) {
+        if (lastTable < 0 && e.name == "table") lastTable = i
+        if (lastTemplate < 0 && e.name == "template") lastTemplate = i
+      }
+      i -= 1
+    }
+    if (lastTemplate >= 0 && (lastTable < 0 || lastTemplate > lastTable))
+      (asInsertionParent(stack(lastTemplate).node), null)
+    else if (lastTable < 0) (stack(0).node, null) // fragment: root
     else {
-      val table = stack(i).node
+      val table = stack(lastTable).node
       if (table.parent != null) (table.parent, table)
-      else (stack(i - 1).node, null)
+      else (asInsertionParent(stack(lastTable - 1).node), null)
     }
   }
 
@@ -537,16 +582,25 @@ final class TreeBuilder extends TokenHandler {
       val e = if (last && isFragment) contextEntry else stack(i)
       if (e.ns eq Ns.html) {
         e.name match {
+          case "template" =>
+            // spec: switch to the CURRENT template insertion mode
+            mode = if (templateModes.nonEmpty) templateModes(templateModes.length - 1)
+                   else InBody // unreachable when stack/modes are consistent
+            done = true
           case "select" =>
             mode = InSelect
             var j = i
-            var foundTable = false
-            while (j > 0 && !foundTable) {
+            var stopScan = false
+            while (j > 0 && !stopScan) {
               j -= 1
               val a = if (j == 0 && isFragment) contextEntry else stack(j)
-              if ((a.ns eq Ns.html) && a.name == "table") foundTable = true
+              // spec: a template between select and table blocks the
+              // in-select-in-table variant
+              if ((a.ns eq Ns.html) && a.name == "template") stopScan = true
+              else if ((a.ns eq Ns.html) && a.name == "table") {
+                mode = InSelectInTable; stopScan = true
+              }
             }
-            if (foundTable) mode = InSelectInTable
             done = true
           case "td" | "th" if !last => mode = InCell; done = true
           case "tr" => mode = InRow; done = true
@@ -603,7 +657,8 @@ final class TreeBuilder extends TokenHandler {
     // Fast path for the dominant modes: in body / text, ws and non-ws chars
     // take the same insertion route (only framesetOk differs), so the whole
     // run can be inserted in one append instead of per-segment calls.
-    if ((mode == InBody || mode == InCaption || mode == InCell || mode == Text) &&
+    if ((mode == InBody || mode == InCaption || mode == InCell || mode == Text ||
+         mode == InTemplate) &&
         (stack.isEmpty || (adjustedCurrent.ns eq Ns.html))) {
       var hasNonWs = false
       var i = from
@@ -670,7 +725,7 @@ final class TreeBuilder extends TokenHandler {
           case _ =>
             appendBody(new AttrList); mode = InBody; charSegment(s, from, to, ws)
         }
-      case InBody | InCaption | InCell =>
+      case InBody | InCaption | InCell | InTemplate => // in-template: per in-body
         reconstructAfe()
         insertChars(s, from, to)
         if (!ws) framesetOk = false
@@ -909,6 +964,14 @@ final class TreeBuilder extends TokenHandler {
         insertElement(name, attrs)
         tokenizer.setContentModel(ContentModel.Script, name)
         originalMode = mode; mode = Text
+      case "template" =>
+        // spec "in head" <template>: insert, AFE marker, frameset not ok,
+        // switch to in-template, push it on the template-modes stack
+        insertElement(name, attrs)
+        afePushMarker()
+        framesetOk = false
+        mode = InTemplate
+        templateModes += InTemplate
       case "head" => err("stray head tag")
       case _ =>
         pop(); mode = AfterHead
@@ -928,7 +991,7 @@ final class TreeBuilder extends TokenHandler {
       case "body" => appendBody(attrs); framesetOk = false; mode = InBody
       case "frameset" => insertElement(name, attrs); mode = InFrameset
       case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
-           "script" | "style" | "title" =>
+           "script" | "style" | "template" | "title" =>
         err("late head content")
         stack += new StackEntry("head", Ns.html, headElem)
         startTagMode(InHead, name, attrs, selfClosing)
@@ -959,6 +1022,7 @@ final class TreeBuilder extends TokenHandler {
     case InColumnGroup => name match {
       case "html" => startTagMode(InBody, name, attrs, selfClosing)
       case "col" => insertVoid(name, attrs)
+      case "template" => startTagMode(InHead, name, attrs, selfClosing)
       case _ =>
         if ((current.ns eq Ns.html) && current.name == "colgroup") {
           pop(); mode = InTable
@@ -1022,7 +1086,7 @@ final class TreeBuilder extends TokenHandler {
           popUntil("select"); resetInsertionMode()
           startTagMode(mode, name, attrs, selfClosing)
         }
-      case "script" => startTagMode(InHead, name, attrs, selfClosing)
+      case "script" | "template" => startTagMode(InHead, name, attrs, selfClosing)
       case _ => err("stray tag in select")
     }
     case InSelectInTable => name match {
@@ -1063,21 +1127,48 @@ final class TreeBuilder extends TokenHandler {
       case "noframes" => startTagMode(InHead, name, attrs, selfClosing)
       case _ => err("stray tag after after frameset")
     }
+    case InTemplate => name match {
+      // spec 13.2.6.4.18 "in template"
+      case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
+           "script" | "style" | "template" | "title" =>
+        startTagMode(InHead, name, attrs, selfClosing)
+      case "caption" | "colgroup" | "tbody" | "tfoot" | "thead" =>
+        popTemplateMode(); templateModes += InTable
+        mode = InTable
+        startTagMode(InTable, name, attrs, selfClosing)
+      case "col" =>
+        popTemplateMode(); templateModes += InColumnGroup
+        mode = InColumnGroup
+        startTagMode(InColumnGroup, name, attrs, selfClosing)
+      case "tr" =>
+        popTemplateMode(); templateModes += InTableBody
+        mode = InTableBody
+        startTagMode(InTableBody, name, attrs, selfClosing)
+      case "td" | "th" =>
+        popTemplateMode(); templateModes += InRow
+        mode = InRow
+        startTagMode(InRow, name, attrs, selfClosing)
+      case _ =>
+        popTemplateMode(); templateModes += InBody
+        mode = InBody
+        startTagMode(InBody, name, attrs, selfClosing)
+    }
     case _ =>
       err("unhandled mode")
   }
 
   private def clearToTableContext(): Unit = {
     while (!((current.ns eq Ns.html) &&
-      (current.name == "table" || current.name == "html"))) pop()
+      (current.name == "table" || current.name == "template" || current.name == "html"))) pop()
   }
   private def clearToTableBody(): Unit = {
     while (!((current.ns eq Ns.html) &&
-      (current.name == "tbody" || current.name == "tfoot" || current.name == "thead" || current.name == "html"))) pop()
+      (current.name == "tbody" || current.name == "tfoot" || current.name == "thead" ||
+       current.name == "template" || current.name == "html"))) pop()
   }
   private def clearToTableRow(): Unit = {
     while (!((current.ns eq Ns.html) &&
-      (current.name == "tr" || current.name == "html"))) pop()
+      (current.name == "tr" || current.name == "template" || current.name == "html"))) pop()
   }
 
   private def closeCell(): Unit = {
@@ -1113,14 +1204,14 @@ final class TreeBuilder extends TokenHandler {
         popUntil("table"); resetInsertionMode()
         startTagMode(mode, name, attrs, selfClosing)
       }
-    case "style" | "script" =>
+    case "style" | "script" | "template" =>
       startTagMode(InHead, name, attrs, selfClosing)
     case "input" if attrs.get("type").exists(_.equalsIgnoreCase("hidden")) =>
       err("hidden input in table")
       insertVoid(name, attrs)
     case "form" =>
       err("form in table")
-      if (formElem == null) {
+      if (formElem == null && !hasTemplateOnStack) {
         val e = insertVoid(name, attrs)
         formElem = e
       }
@@ -1171,7 +1262,7 @@ final class TreeBuilder extends TokenHandler {
       err("stray html tag")
       addMissingAttrs(stack(0).node, attrs)
     case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
-         "script" | "style" | "title" =>
+         "script" | "style" | "template" | "title" =>
       startTagMode(InHead, name, attrs, selfClosing)
     case "body" =>
       err("stray body tag")
@@ -1206,10 +1297,13 @@ final class TreeBuilder extends TokenHandler {
       needToDropLF = true
       framesetOk = false
     case "form" =>
-      if (formElem != null) err("nested form")
+      // spec: with a template on the stack the form pointer is neither
+      // consulted nor set (templates get their own form scoping)
+      if (formElem != null && !hasTemplateOnStack) err("nested form")
       else {
         closePIfInButtonScope()
-        formElem = insertElement(name, attrs)
+        val e = insertElement(name, attrs)
+        if (!hasTemplateOnStack) formElem = e
       }
     case "li" =>
       framesetOk = false
@@ -1478,6 +1572,19 @@ final class TreeBuilder extends TokenHandler {
     }
     case InHead => name match {
       case "head" => pop(); mode = AfterHead
+      case "template" =>
+        // spec "in head" </template> — also the shared handler every other
+        // mode routes its </template> to
+        if (!hasTemplateOnStack) err("stray template end tag")
+        else {
+          generateImpliedEndTagsThoroughly()
+          if (!((current.ns eq Ns.html) && current.name == "template"))
+            err("unclosed elements at template end")
+          popUntil("template")
+          clearAfeToMarker()
+          popTemplateMode()
+          resetInsertionMode()
+        }
       case "body" | "html" | "br" =>
         pop(); mode = AfterHead
         endTagMode(AfterHead, name)
@@ -1491,6 +1598,7 @@ final class TreeBuilder extends TokenHandler {
       case _ => err("stray end tag in noscript")
     }
     case AfterHead => name match {
+      case "template" => endTagMode(InHead, name)
       case "body" | "html" | "br" =>
         appendBody(new AttrList); mode = InBody
         endTagMode(InBody, name)
@@ -1529,6 +1637,7 @@ final class TreeBuilder extends TokenHandler {
         if ((current.ns eq Ns.html) && current.name == "colgroup") { pop(); mode = InTable }
         else err("stray colgroup end")
       case "col" => err("stray col end tag")
+      case "template" => endTagMode(InHead, name)
       case _ =>
         if ((current.ns eq Ns.html) && current.name == "colgroup") {
           pop(); mode = InTable
@@ -1597,6 +1706,7 @@ final class TreeBuilder extends TokenHandler {
       case "select" =>
         if (hasInSelectScope("select")) { popUntil("select"); resetInsertionMode() }
         else err("stray select end tag")
+      case "template" => endTagMode(InHead, name)
       case _ => err("stray end tag in select")
     }
     case InSelectInTable => name match {
@@ -1635,6 +1745,10 @@ final class TreeBuilder extends TokenHandler {
       endTagMode(InBody, name)
     case AfterAfterFrameset =>
       err("stray end tag after after frameset")
+    case InTemplate => name match {
+      case "template" => endTagMode(InHead, name)
+      case _ => err("stray end tag in template") // spec: ignore
+    }
     case _ => err("unhandled end tag mode")
   }
 
@@ -1642,6 +1756,8 @@ final class TreeBuilder extends TokenHandler {
     case "table" =>
       if (hasInTableScope("table")) { popUntil("table"); resetInsertionMode() }
       else err("stray table end tag")
+    case "template" =>
+      endTagMode(InHead, name) // spec "in table" </template>: in-head rules
     case "body" | "caption" | "col" | "colgroup" | "html" | "tbody" | "td" |
          "tfoot" | "th" | "thead" | "tr" =>
       err("stray end tag in table")
@@ -1673,14 +1789,26 @@ final class TreeBuilder extends TokenHandler {
         popUntil(name)
       }
     case "form" =>
-      val f = formElem
-      formElem = null
-      if (f == null || !hasInScopeElem(f)) err("stray form end tag")
-      else {
-        generateImpliedEndTags()
-        if (!(currentNode eq f)) err("unclosed elements at form end")
-        val i = stackIndexOfElem(f)
-        if (i >= 0) stack.remove(i)
+      if (!hasTemplateOnStack) {
+        val f = formElem
+        formElem = null
+        if (f == null || !hasInScopeElem(f)) err("stray form end tag")
+        else {
+          generateImpliedEndTags()
+          if (!(currentNode eq f)) err("unclosed elements at form end")
+          val i = stackIndexOfElem(f)
+          if (i >= 0) stack.remove(i)
+        }
+      } else {
+        // spec: with a template on the stack, </form> closes by scope, not
+        // via the form pointer
+        if (!hasInScope("form")) err("stray form end tag")
+        else {
+          generateImpliedEndTags()
+          if (!((current.ns eq Ns.html) && current.name == "form"))
+            err("unclosed elements at form end")
+          popUntil("form")
+        }
       }
     case "p" =>
       if (!hasInButtonScope("p")) {
@@ -1724,6 +1852,7 @@ final class TreeBuilder extends TokenHandler {
     case "br" =>
       err("br end tag")
       inBodyStartTag("br", new AttrList, selfClosing = false)
+    case "template" => endTagMode(InHead, name)
     case _ => anyOtherEndTag(name)
   }
 
@@ -1775,7 +1904,19 @@ final class TreeBuilder extends TokenHandler {
         pop()
         mode = originalMode
         eof() // reprocess EOF in the restored mode (spec)
-      case _ => eofFinal()
+      case _ =>
+        // spec "in body"/"in template" EOF: an open template is closed and
+        // the EOF reprocessed in the restored mode (popUntil guarantees the
+        // recursion terminates); a template-context FRAGMENT has in-template
+        // on the template-modes stack but no template element — stop parsing
+        if (templateModes.nonEmpty && hasTemplateOnStack) {
+          err("eof in template")
+          popUntil("template")
+          clearAfeToMarker()
+          popTemplateMode()
+          resetInsertionMode()
+          eof()
+        } else eofFinal()
     }
   }
 
@@ -1809,6 +1950,7 @@ final class TreeBuilder extends TokenHandler {
     quirks = false
     tableTextPending = false
     tableText.setLength(0)
+    templateModes.clear()
     detectedCharset = null
     errors.clear()
   }

@@ -90,6 +90,24 @@ class ExtractionSpec extends AnyFunSuite {
     assert(golden("forum-thread").contains("cracked exhaust heat shield"))
   }
 
+  test("template contents never reach extracted text or links") {
+    val prose = "Real article body with enough words that the densitometric rules " +
+      "keep it as content in the standalone prose classification branch here."
+    // Template innards include prose long enough that it WOULD be extracted if
+    // it leaked into the main tree, plus nested table/row scaffolding that a
+    // non-template-aware parser would foster-parent into visible positions.
+    val html =
+      s"""<body><article><p>$prose</p>
+         |<template id=row-tpl><table><tr><td>HIDDEN CELL $prose</td></tr></table>
+         |<p>HIDDEN PARA $prose</p><a href="/hidden">hidden link</a></template>
+         |<p>$prose</p></article></body>""".stripMargin
+    val doc = HtmlParser.parseDocument(html).doc
+    val ex = Extractor.extract(doc)
+    assert(!ex.text.contains("HIDDEN"), s"template innards leaked: ${ex.text}")
+    assert(ex.text.linesIterator.size == 2)
+    assert(Extractor.links(doc).forall(_._1 != "/hidden"))
+  }
+
   test("link extraction: DOM order, normalized anchors, foreign/href-less skipped") {
     val html =
       """<body><p><a href="/x">one  <b>two</b>

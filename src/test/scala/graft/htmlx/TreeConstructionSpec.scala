@@ -69,6 +69,11 @@ class TreeConstructionSpec extends AnyFunSuite {
     "h5-entities02.dat", "h5-tests19.dat", "h5-tests14.dat", "h5-webkit02.dat",
     "h5-foreignfrag.dat", "h5-tests11.dat", "h5-svgtags.dat", "h5-tests17.dat",
     "h5-tests18.dat",
+    // h5-template.dat: template-mode cases (upstream template.dat shapes) —
+    // the engine implements the spec's "in template" mode (r4), a documented
+    // DIVERGENCE from the reference, which predates <template>; its contents
+    // parse into a separate fragment and never leak into extracted text.
+    "h5-template.dat",
     // h5-gen-*.dat / h5-scriptstates.dat: spec-oracle generated batteries
     // (tools/gen_*.py) — expected trees derived from an independent Python
     // implementation of the spec rule, NOT from the engine; disagreements
