@@ -12,6 +12,25 @@ import graft.pipeline.{ExtractPipeline, SparkEnv, SynthCorpus}
   */
 object Bench {
 
+  /** Fixed-work single-thread calibration probe: 8e8 xorshift64* steps of
+    * pure register arithmetic (no allocation, no memory traffic). Its wall
+    * time depends only on how much CPU the sandbox actually grants this JVM,
+    * so a reader can normalize grant drift out of the driver-side numbers:
+    * if calib_sec is k× the pinned-run reference (BENCH/BASELINE.md), every
+    * query time in the same JSON is inflated by roughly the same k. */
+  def calibSec(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 800000000L) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) println(x) // defeat dead-code elimination
+    sec
+  }
+
   /** Materialize the deterministic corpus once (outside any timing). */
   def corpusPath(spark: SparkSession, nDocs: Long): String = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft-bench-corpus")
@@ -50,6 +69,9 @@ object Bench {
     val spark = SparkEnv.session(s"local[$cpus]", "graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- calibration probe (before any timed work; see calibSec scaladoc)
+    val calibStart = calibSec()
+
     // ---- warmup: JIT the engine + every query shape at the smallest SF
     extractionBench(spark, 2000)
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -69,11 +91,24 @@ object Bench {
     val (sec, n) = extractionBench(spark, nDocs)
     val docsPerSec = n / sec
 
+    // ---- closing calibration probe (drift WITHIN the run is visible too)
+    val calibEnd = calibSec()
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + sec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$n,"extract_sec":$sec%.3f,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$n,"extract_sec":$sec%.3f,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"calib_sec":$calibStart%.3f,"calib_sec_end":$calibEnd%.3f}""")
     spark.stop()
+  }
+}
+
+/** Standalone calibration probe (no Spark): prints Bench.calibSec() a few
+  * times so the pinned single-core reference for BENCH/BASELINE.md can be
+  * (re)measured: `taskset -c 0 java -cp ... graft.CalibProbe`. */
+object CalibProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 3
+    (1 to reps).foreach(_ => println(f"${Bench.calibSec()}%.3f"))
   }
 }
 
