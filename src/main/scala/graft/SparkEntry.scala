@@ -127,6 +127,20 @@ object SparkEntry {
       graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "dedup_lines" -> ((s, dir) => {
+      // C4/RefinedWeb line-level corpus dedup. The synthetic documents are
+      // single-line, so both engines derive the same multi-line corpus
+      // deterministically: every space becomes a newline (word-lines with
+      // heavy cross-corpus duplication — the worst case for the drop path).
+      // minLineChars=4 exempts short words, exercising the eligibility cut.
+      val d = docs(s, dir).select(col("doc_id"),
+        translate(col("text"), " ", "\n").as("text"))
+      graft.operators.Dedup.lineLevel(d, "doc_id", "text", minLineChars = 4)
+        .select(col("doc_id"), col("text"),
+          col("lines_kept").cast("long").as("lines_kept"),
+          col("lines_dropped").cast("long").as("lines_dropped"))
+        .orderBy("doc_id")
+    }),
     "dedup_url" -> ((s, dir) => {
       // URL-level dedup: ids 4k..4k+3 are recrawls of one page under four
       // trivially-different URLs (host case, explicit default port, dot
@@ -539,6 +553,27 @@ object SparkEntry {
         |  WHEN (doc_id % 97) % 4 = 0 THEN false
         |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
         |  ELSE true END
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM d),
+        |ln AS (SELECT doc_id, unnest(list_transform(range(len(a)),
+        |         i -> struct_pack(idx := i, line := a[i+1]))) AS e FROM arr),
+        |l AS (SELECT doc_id, e.idx AS idx, e.line AS line FROM ln),
+        |elig AS (SELECT * FROM l WHERE len(line) >= 4),
+        |rk AS (SELECT doc_id, idx,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn,
+        |         count(*) OVER (PARTITION BY line) AS cnt FROM elig),
+        |drops AS (SELECT doc_id, idx FROM rk WHERE cnt > 1 AND rn > 1),
+        |kept AS (SELECT l.doc_id, l.idx, l.line
+        |         FROM l ANTI JOIN drops USING (doc_id, idx)),
+        |outv AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+        |           count(*) AS kept_n FROM kept GROUP BY doc_id),
+        |dn AS (SELECT doc_id, count(*) AS dropped_n FROM drops GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(outv.text, '') AS text,
+        |  coalesce(outv.kept_n, 0) AS lines_kept,
+        |  coalesce(dn.dropped_n, 0) AS lines_dropped
+        |FROM d LEFT JOIN outv USING (doc_id) LEFT JOIN dn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "dedup_url" ->
       """WITH grps AS (

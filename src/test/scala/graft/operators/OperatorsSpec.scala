@@ -203,4 +203,37 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
+
+  test("line-level dedup drops repeated lines, keeps first occurrence and short lines") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "unique opening paragraph\nCopyright Example Corp 2026\nmore body text"),
+      (1L, "different article body here\nCopyright Example Corp 2026\nclosing remark"),
+      // doc 2 is pure boilerplate: every eligible line already seen
+      (2L, "Copyright Example Corp 2026\nmore body text"),
+      // short lines (< 4 chars) are exempt even when repeated
+      (3L, "ok\nok\nfresh content line"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineLevel(rows, "doc_id", "text", minLineChars = 4)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "unique opening paragraph\nCopyright Example Corp 2026\nmore body text")
+    assert(out(0L)._4 == 0)
+    assert(out(1L)._2 == "different article body here\nclosing remark")
+    assert(out(1L)._4 == 1)
+    assert(out(2L)._2 == "" && out(2L)._3 == 0 && out(2L)._4 == 2)
+    assert(out(3L)._2 == "ok\nok\nfresh content line" && out(3L)._4 == 0)
+    assert(out(4L)._2 == "" && out(4L)._3 == 1 && out(4L)._4 == 0)
+  }
+
+  test("line-level dedup: within-document repeats collapse to the first copy") {
+    import spark.implicits._
+    val rows = Seq(
+      (7L, "chorus line repeats\nverse one\nchorus line repeats\nverse two\nchorus line repeats"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineLevel(rows, "doc_id", "text")
+      .as[(Long, String, Int, Int)].collect().head
+    assert(out._2 == "chorus line repeats\nverse one\nverse two")
+    assert(out._3 == 3 && out._4 == 2)
+  }
 }

@@ -256,4 +256,29 @@ class PlanSpec extends AnyFunSuite {
       s"digest-only grouping should shuffle <1/4 of the text-carrying bytes " +
         s"(old=$oldBytes new=$newBytes)")
   }
+
+  test("line-level dedup: exploded lines never shuffle, doc text crosses at most one exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // exchanges are inserted by EnsureRequirements (executedPlan); AQE off
+    // so the tree is directly collectible rather than adaptively wrapped
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try {
+        val df = graft.operators.Dedup.lineLevel(docs, "doc_id", "text")
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(exchanges.nonEmpty, "expected shuffles in line dedup")
+    val lineBearing = exchanges.filter(_.output.exists(_.name == "line"))
+    assert(lineBearing.isEmpty,
+      s"exploded line text crosses an exchange — the corpus would shuffle " +
+        s"line-by-line at 100 TB:\n${lineBearing.mkString("\n")}")
+    val textBearing = exchanges.filter(_.output.exists(_.name == "text"))
+    assert(textBearing.size <= 1,
+      s"document text crosses ${textBearing.size} exchanges (want ≤1 — the " +
+        s"drop-set join back to intact docs):\n${textBearing.mkString("\n")}")
+  }
 }

@@ -1141,6 +1141,11 @@ def random_sequences(seed, count):
 
 
 def main():
+    # optional args: seed count — fresh-seed mutual-validation sweeps
+    # (systematic matrix always included; defaults reproduce the committed
+    # h5-templategen.dat battery)
+    seed = int(sys.argv[1], 0) if len(sys.argv) > 1 else 0x7E11
+    count = int(sys.argv[2]) if len(sys.argv) > 2 else 260
     cases = []
 
     def doc_case(body):
@@ -1224,7 +1229,7 @@ def main():
     frag_case("<template>t</template>", "select")
 
     # ---- seeded random sequences over the structural alphabet
-    for src in random_sequences(0x7E11, 260):
+    for src in random_sequences(seed, count):
         doc_case("<body>" + src)
 
     sys.stdout.write("\n".join(cases))
