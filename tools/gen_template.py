@@ -483,12 +483,15 @@ class Builder:
                         break
                     if node.tag in ("div", "p"):
                         continue  # address/div/p exempt from special stop
+                    # the SPECIAL category stop (minus address/div/p, exempt
+                    # above); option/span are NOT special — the loop walks
+                    # past them to a lower li
                     if node.tag in ("table", "td", "th", "caption", "html",
                                     "template", "ul", "body", "button",
                                     "select", "form", "colgroup", "tbody",
                                     "thead", "tfoot", "tr", "head", "#frag",
                                     "script", "style", "input", "br", "img",
-                                    "col", "option"):
+                                    "col"):
                         break
                 if self.has_in_button_scope("p"):
                     self.close_p()
@@ -571,7 +574,17 @@ class Builder:
         if tag == "body":
             self.mode = AFTER_BODY
             return False
-        if tag in ("div", "span", "ul", "option", "select", "table",
+        if tag in ("div", "ul"):
+            # the address/article/.../div/.../ul end-tag family: scope check,
+            # generate implied end tags, pop THROUGH the element (special
+            # elements like an open <li> do NOT block this, unlike the
+            # any-other-end-tag algorithm)
+            if not self.has_in_scope(tag):
+                return False
+            self.generate_implied_ends()
+            self.pop_until(tag)
+            return False
+        if tag in ("span", "option", "select", "table",
                    "caption", "colgroup", "tbody", "thead", "tfoot", "tr",
                    "td", "th", "script", "style", "input", "img", "col",
                    "html", "head"):
@@ -581,7 +594,7 @@ class Builder:
                 if tag == "html":
                     self.mode = AFTER_BODY
                 return False  # any-other-end-tag hits special/absent: ignore
-            # any other end tag: div/span/ul/option
+            # any other end tag: span/option
             for i in range(len(self.stack) - 1, -1, -1):
                 node = self.stack[i]
                 if node.tag == tag:
