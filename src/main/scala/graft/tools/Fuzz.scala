@@ -23,7 +23,7 @@ object Fuzz {
     "&#xD800;", "&bogus;", "&", "&#", "&#x", "&ltX", "&curren", "&amp")
   private val frags = Array(null, "td", "tr", "tbody", "select", "b", "p",
     "colgroup", "caption", "script", "title", "html", "frameset",
-    "svg path", "math ms", "svg desc", "math annotation-xml")
+    "svg path", "math ms", "svg desc", "math annotation-xml", "template")
 
   def gen(r: java.util.Random): String = {
     val sb = new StringBuilder
