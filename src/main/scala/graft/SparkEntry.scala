@@ -127,6 +127,19 @@ object SparkEntry {
       graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "decontaminate" -> ((s, dir) => {
+      // GPT-3/PaLM-style eval-set decontamination at k=8 over the word
+      // vocabulary: every 53rd document stands in for the benchmark suite;
+      // those docs (and any text overlapping them 8 words in a row) flag.
+      implicit val sp: SparkSession = s
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 53 === 0)
+      graft.operators.Decontamination.flag(d, "doc_id", "text", bench, "text", k = 8)
+        .select(col("id").as("doc_id"),
+          col("ngrams").cast("long").as("ngrams"),
+          col("hits").cast("long").as("hits"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
     "dedup_lines" -> ((s, dir) => {
       // C4/RefinedWeb line-level corpus dedup. The synthetic documents are
       // single-line, so both engines derive the same multi-line corpus
@@ -554,6 +567,19 @@ object SparkEntry {
         |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
         |  ELSE true END
         |ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |        list_distinct(list_transform(range(len(w) - 7),
+        |          i -> w[i+1] || w[i+2] || w[i+3] || w[i+4] ||
+        |               w[i+5] || w[i+6] || w[i+7] || w[i+8]))
+        |      ELSE CAST([] AS VARCHAR[]) END AS sh FROM t),
+        |bg AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 53 = 0),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |h AS (SELECT doc_id, count(*) AS hits FROM e JOIN bg USING (g) GROUP BY doc_id)
+        |SELECT s.doc_id, len(s.sh) AS ngrams, coalesce(h.hits, 0) AS hits,
+        |       coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
         |arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM d),

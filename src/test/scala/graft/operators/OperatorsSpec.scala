@@ -226,6 +226,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L)._2 == "" && out(4L)._3 == 1 && out(4L)._4 == 0)
   }
 
+  test("decontamination flags docs overlapping the benchmark by k words") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),            // contains bench 5-gram
+      (1L, "totally unrelated words about spark plans here"),
+      (2L, "prefix words alpha beta gamma delta epsilon more"), // overlap mid-doc
+      (3L, "alpha beta gamma different tail words now"),        // only 3-word overlap
+      (4L, "tiny doc")                                          // < k words
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val out = Decontamination.flag(corpus, "doc_id", "text", bench, "text", k = 5)
+      .as[(Long, Int, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._4 && out(0L)._3 == 1)
+    assert(!out(1L)._4 && out(1L)._3 == 0)
+    assert(out(2L)._4)
+    assert(!out(3L)._4, "3-word overlap must not flag at k=5")
+    assert(!out(4L)._4 && out(4L)._2 == 0)
+  }
+
+  test("decontamination plan: benchmark grams broadcast, corpus side stays narrow") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val corpus = (0L until 50L).map(i => (i, s"word$i text body alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val plan = Decontamination.flag(corpus, "doc_id", "text", bench, "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must ride a broadcast:\n$plan")
+  }
+
   test("line-level dedup: within-document repeats collapse to the first copy") {
     import spark.implicits._
     val rows = Seq(
