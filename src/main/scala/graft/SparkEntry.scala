@@ -127,6 +127,24 @@ object SparkEntry {
       graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "mix_sample" -> ((s, dir) => {
+      // Deterministic mixture sampling: exact binary-fraction weights so
+      // weight*1e6 is integer on both engines; the hash is an
+      // oracle-replicable 31-bit LCG on doc_id (production would pass
+      // xxhash64 — the operator is hash-agnostic).
+      val lcg = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483648L))
+      graft.operators.Mixing.sampleBySource(docs(s, dir), "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), 0.125, lcg)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+    "chunk_plan" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.operators.Packing.chunkPlan(docs(s, dir), "doc_id",
+          graft.operators.TextAnalysis.tokenCount(col("text")), tokensPerChunk = 64)
+        .select(col("id").as("doc_id"), col("tokens"), col("chunks"),
+          col("chunk_start")).orderBy("doc_id")
+    }),
     "decontaminate" -> ((s, dir) => {
       // GPT-3/PaLM-style eval-set decontamination at k=8 over the word
       // vocabulary: every 53rd document stands in for the benchmark suite;
@@ -567,6 +585,23 @@ object SparkEntry {
         |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
         |  ELSE true END
         |ORDER BY doc_id""".stripMargin,
+    "mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000000 <
+        |  CAST(1000000 * (CASE source WHEN 'src0' THEN 1.0
+        |                              WHEN 'src1' THEN 0.5
+        |                              WHEN 'src2' THEN 0.25
+        |                              ELSE 0.125 END) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    "chunk_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS tokens FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |    CAST(ceil(tokens / 64.0) AS BIGINT) AS chunks FROM t)
+        |SELECT doc_id, tokens, chunks,
+        |  CAST(coalesce(sum(chunks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_start
+        |FROM c ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN

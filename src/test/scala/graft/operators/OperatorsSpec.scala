@@ -258,6 +258,40 @@ class OperatorsSpec extends AnyFunSuite {
       s"benchmark shingles must ride a broadcast:\n$plan")
   }
 
+  test("mixture sampling is deterministic and monotone in the weight") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    def ids(w: Map[String, Double]) =
+      Mixing.sampleBySource(docs, "source", w, 0.0, h)
+        .select($"doc_id").as[Long].collect().toSet
+    val quarter = ids(Map("src1" -> 0.25))
+    val half = ids(Map("src1" -> 0.5))
+    assert(ids(Map("src1" -> 0.25)) == quarter, "must be deterministic")
+    assert(quarter.subsetOf(half), "raising a weight must only add rows")
+    assert(half.forall(_ % 4 == 1), "default weight 0 drops other sources")
+    assert(ids(Map("src1" -> 1.0)).size == 100, "weight 1.0 keeps all of the source")
+    // keep rate lands near the weight (LCG is uniform enough at n=100)
+    assert(math.abs(half.size - 50) <= 20, s"got ${half.size}/100 at w=0.5")
+  }
+
+  test("chunk plan matches the naive global cumulative sum") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    // sparse, shuffled ids; token counts vary incl. 0-chunk empty docs
+    val rows = Seq(907L, 3L, 500L, 41L, 12L, 999L, 77L, 600L, 8L, 250L)
+      .zipWithIndex.map { case (id, i) => (id, (i * 37) % 190) }
+    val docs = rows.toDF("doc_id", "tokens")
+    val out = Packing.chunkPlan(docs, "doc_id", col("tokens"), tokensPerChunk = 64,
+        buckets = 4)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    val expected = rows.sortBy(_._1).scanLeft((0L, 0L, 0L, 0L)) {
+      case ((_, _, pc, ps), (id, t)) =>
+        (id, t.toLong, (t + 63) / 64, ps + pc)
+    }.drop(1).map { case (id, t, c, start) => (id, t, c, start) }
+    assert(out.toSeq == expected.toSeq)
+  }
+
   test("line-level dedup: within-document repeats collapse to the first copy") {
     import spark.implicits._
     val rows = Seq(
