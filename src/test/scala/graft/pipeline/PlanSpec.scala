@@ -257,6 +257,26 @@ class PlanSpec extends AnyFunSuite {
         s"(old=$oldBytes new=$newBytes)")
   }
 
+  test("chunk plan never runs a global (unpartitioned) window") {
+    implicit val s: SparkSession = spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows =
+      try {
+        val df = graft.operators.Packing.chunkPlan(docs, "doc_id", col("n_chars"), 64)
+        df.queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(windows.nonEmpty, "expected a window in the chunk plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window = whole corpus in ONE task at 100 TB:\n$w")
+    }
+  }
+
   test("line-level dedup: exploded lines never shuffle, doc text crosses at most one exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
