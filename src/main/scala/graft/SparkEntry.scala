@@ -127,6 +127,26 @@ object SparkEntry {
       graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "robots_sitemaps" -> ((s, dir) => {
+      // Sitemap-directive discovery: 20 deterministic hosts; n%3==0 hosts
+      // carry two directives (one after a comment, one in upper case),
+      // n%3==1 none, n%3==2 a duplicate that dedupes to its first spot.
+      import s.implicits._
+      val robots = docs(s, dir).select((col("doc_id") % 20).as("n")).distinct()
+        .as[Long].map { n =>
+          val host = s"host-$n.example"
+          val txt = n % 3 match {
+            case 0 => s"User-agent: *\nDisallow: /x\nSitemap: https://$host/sitemap.xml\n" +
+              s"# comment line\nSITEMAP: https://$host/sitemap2.xml\n"
+            case 1 => "User-agent: *\nAllow: /\n"
+            case _ => s"sitemap: https://$host/s.xml.gz\nUser-agent: a\nDisallow: /\n" +
+              s"Sitemap: https://$host/s.xml.gz\n"
+          }
+          (host, txt)
+        }.toDF("host", "robots_txt")
+      graft.operators.Robots.sitemapSeeds(robots, "host", "robots_txt")
+        .orderBy("host", "sitemap_idx")
+    }),
     "mix_sample" -> ((s, dir) => {
       // Deterministic mixture sampling: exact binary-fraction weights so
       // weight*1e6 is integer on both engines; the hash is an
@@ -585,6 +605,18 @@ object SparkEntry {
         |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
         |  ELSE true END
         |ORDER BY doc_id""".stripMargin,
+    "robots_sitemaps" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 20 AS n FROM documents),
+        |h AS (SELECT n, 'host-' || CAST(n AS VARCHAR) || '.example' AS host FROM n)
+        |SELECT host, sitemap_idx, sitemap_url FROM (
+        |  SELECT host, 0 AS sitemap_idx,
+        |         'https://' || host || '/sitemap.xml' AS sitemap_url
+        |  FROM h WHERE n % 3 = 0
+        |  UNION ALL
+        |  SELECT host, 1, 'https://' || host || '/sitemap2.xml' FROM h WHERE n % 3 = 0
+        |  UNION ALL
+        |  SELECT host, 0, 'https://' || host || '/s.xml.gz' FROM h WHERE n % 3 = 2
+        |) ORDER BY host, sitemap_idx""".stripMargin,
     "mix_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000000 <

@@ -235,4 +235,38 @@ object Robots {
       }
     }(enc).drop("__host", "__salt", "robots_txt")
   }
+
+  /** `Sitemap:` directives from one robots.txt body — the sitemaps.org
+    * discovery channel (RFC 9309 §2.3 treats them as group-independent
+    * "other records"): case-insensitive key, '#' comments stripped,
+    * absolute-URL values taken verbatim, duplicates dropped keeping the
+    * first occurrence, order preserved. */
+  def sitemapDirectives(txt: String): Seq[String] = {
+    if (txt == null) return Nil
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    for (raw <- txt.linesIterator) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) seen += v
+      }
+    }
+    seen.toVector
+  }
+
+  /** Sitemap seeds per host: (host, sitemap_idx, sitemap_url) rows from the
+    * robots table's `Sitemap:` directives — feed into
+    * [[graft.sources.Sitemaps]] for URL discovery. Narrow typed flatMap,
+    * no shuffle. */
+  def sitemapSeeds(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        sitemapDirectives(txt).zipWithIndex.map { case (u, i) => (host, i, u) }
+      }
+      .toDF(hostCol, "sitemap_idx", "sitemap_url")
+  }
 }

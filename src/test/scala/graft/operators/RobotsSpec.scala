@@ -137,4 +137,14 @@ class RobotsSpec extends AnyFunSuite {
   test("Spark filter (salted join path): same results") {
     checkFilter((p, r) => Robots.filterAllowedJoin(p, r, "graftbot", saltBuckets = 4))
   }
+
+  test("sitemap directives: case-insensitive, comments, dedupe, order, null") {
+    assert(Robots.sitemapDirectives(null) == Nil)
+    assert(Robots.sitemapDirectives("User-agent: *\nDisallow: /\n") == Nil)
+    val txt = "SiteMap: https://a/1.xml\n# Sitemap: https://a/commented.xml\n" +
+      "User-agent: *\nDisallow: /\nsitemap: https://a/2.xml # trailing\n" +
+      "Sitemap: https://a/1.xml\nSitemap:\nSitemapX: https://a/no.xml\n"
+    assert(Robots.sitemapDirectives(txt) ==
+      Seq("https://a/1.xml", "https://a/2.xml"))
+  }
 }
