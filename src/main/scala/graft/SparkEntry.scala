@@ -127,6 +127,22 @@ object SparkEntry {
       graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "gopher_filter" -> ((s, dir) => {
+      // Full Gopher rule battery over a deterministically line-structured
+      // corpus: every doc gains a bullet line; doc_id%4 docs end a line
+      // with an ellipsis (tips the 300-permille ellipsis rule at 3 lines);
+      // doc_id%5 docs gain required stop words (the only way past the
+      // >=2-stops rule given the tech vocabulary); minWords=30 splits the
+      // 10..99-word corpus; bullet threshold 300 separates 3- from 4-line
+      // docs (333 vs 250 permille).
+      val t2 = concat(col("text"), lit("\n- bullet item\n"),
+        when(col("doc_id") % 4 === 0, lit("ending…")).otherwise(lit("plain ending")),
+        when(col("doc_id") % 5 === 0, lit("\nof and that have")).otherwise(lit("")))
+      val d = docs(s, dir).select(col("doc_id"), t2.as("text"))
+      graft.operators.TextAnalysis.gopherFilter(d, "doc_id", "text",
+          minWords = 30, maxBulletRatioX1000 = 300)
+        .orderBy("doc_id")
+    }),
     "robots_sitemaps" -> ((s, dir) => {
       // Sitemap-directive discovery: 20 deterministic hosts; n%3==0 hosts
       // carry two directives (one after a comment, one in upper case),
@@ -605,6 +621,46 @@ object SparkEntry {
         |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
         |  ELSE true END
         |ORDER BY doc_id""".stripMargin,
+    "gopher_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || '- bullet item' || chr(10) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'ending…' ELSE 'plain ending' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'of and that have' ELSE '' END) AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, t,
+        |    string_split_regex(trim(t), '\s+') AS w,
+        |    string_split(t, chr(10)) AS ln FROM d),
+        |g AS (SELECT doc_id,
+        |    len(w) AS words,
+        |    CAST(floor(length(regexp_replace(t, '\s', '', 'g')) * 100 /
+        |      greatest(len(w), 1)) AS BIGINT) AS mean_word_len_x100,
+        |    CAST(floor((length(t) - length(regexp_replace(t, '[#…]', '', 'g'))) * 1000 /
+        |      greatest(len(w), 1)) AS BIGINT) AS symbol_ratio_x1000,
+        |    CAST(floor(len(list_filter(ln, l -> starts_with(trim(l), '•')
+        |      OR starts_with(trim(l), '- '))) * 1000 /
+        |      greatest(len(ln), 1)) AS BIGINT) AS bullet_ratio_x1000,
+        |    CAST(floor(len(list_filter(ln, l -> ends_with(trim(l), '...')
+        |      OR ends_with(trim(l), '…'))) * 1000 /
+        |      greatest(len(ln), 1)) AS BIGINT) AS ellipsis_ratio_x1000,
+        |    CAST(floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1000 /
+        |      greatest(len(w), 1)) AS BIGINT) AS alpha_word_ratio_x1000,
+        |    CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS gopher_stops
+        |  FROM f)
+        |SELECT doc_id, words, mean_word_len_x100, symbol_ratio_x1000,
+        |  bullet_ratio_x1000, ellipsis_ratio_x1000, alpha_word_ratio_x1000,
+        |  gopher_stops,
+        |  (words BETWEEN 30 AND 100000) AND (mean_word_len_x100 BETWEEN 300 AND 1000)
+        |    AND symbol_ratio_x1000 <= 100 AND bullet_ratio_x1000 <= 300
+        |    AND ellipsis_ratio_x1000 <= 300 AND alpha_word_ratio_x1000 >= 800
+        |    AND gopher_stops >= 2 AS pass
+        |FROM g ORDER BY doc_id""".stripMargin,
     "robots_sitemaps" ->
       """WITH n AS (SELECT DISTINCT doc_id % 20 AS n FROM documents),
         |h AS (SELECT n, 'host-' || CAST(n AS VARCHAR) || '.example' AS host FROM n)

@@ -142,4 +142,55 @@ object TextAnalysis {
           i => when(i + window <= n, array_min(slice(sh, i + lit(1), lit(window))))),
         c => c.isNotNull))
   }
+
+  /** The published Gopher quality-rule battery (Rae et al. 2021 §A.1.1) as
+    * one integer-exact composite: word-count bounds, mean word length in
+    * [3, 10] chars, '#'/'…' symbol-to-word ratio ≤ 0.1, bullet-start lines
+    * ≤ 10%, ellipsis-end lines ≤ 30%, ≥ 80% of words containing an
+    * alphabetic character, and ≥ 2 of the paper's eight required stop words
+    * present. Every ratio is reported ×100/×1000 floored so the DuckDB
+    * oracle reproduces the arithmetic exactly; `pass` is the conjunction.
+    * All built-ins, codegen'd, narrow — at 100 TB this is a free rider on
+    * whatever scan already touches the text. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLenX100: Int = 300, maxMeanWordLenX100: Int = 1000,
+                   maxSymbolRatioX1000: Int = 100,
+                   maxBulletRatioX1000: Int = 100,
+                   maxEllipsisRatioX1000: Int = 300,
+                   minAlphaWordRatioX1000: Int = 800,
+                   minRequiredStops: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val nWords = greatest(size(words), lit(1))
+    val lines = split(t, "\n", -1)
+    val nLines = greatest(size(lines), lit(1))
+    val meanLen = floor(length(regexp_replace(t, "\\s", "")) * 100 / nWords)
+    val symbols = length(t) - length(regexp_replace(t, "[#…]", ""))
+    val bullets = size(filter(lines,
+      l => trim(l).startsWith("•") || trim(l).startsWith("- ")))
+    val ellipses = size(filter(lines,
+      l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stops = requiredStops
+      .map(s => when(array_contains(words, s), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(col(idCol),
+        size(words).as("words"),
+        meanLen.cast("long").as("mean_word_len_x100"),
+        floor(symbols * 1000 / nWords).cast("long").as("symbol_ratio_x1000"),
+        floor(bullets * 1000 / nLines).cast("long").as("bullet_ratio_x1000"),
+        floor(ellipses * 1000 / nLines).cast("long").as("ellipsis_ratio_x1000"),
+        floor(alphaWords * 1000 / nWords).cast("long").as("alpha_word_ratio_x1000"),
+        stops.cast("long").as("gopher_stops"))
+      .withColumn("pass",
+        col("words").between(minWords, maxWords) &&
+        col("mean_word_len_x100").between(minMeanWordLenX100, maxMeanWordLenX100) &&
+        col("symbol_ratio_x1000") <= maxSymbolRatioX1000 &&
+        col("bullet_ratio_x1000") <= maxBulletRatioX1000 &&
+        col("ellipsis_ratio_x1000") <= maxEllipsisRatioX1000 &&
+        col("alpha_word_ratio_x1000") >= minAlphaWordRatioX1000 &&
+        col("gopher_stops") >= minRequiredStops)
+  }
 }

@@ -258,6 +258,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"benchmark shingles must ride a broadcast:\n$plan")
   }
 
+  test("gopher filter: each rule independently rejects its violation") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over with many plain words that " +
+      "keep flowing along nicely through fifty or so ordinary tokens here " +
+      "making sure the document easily clears every single quality gate " +
+      "from the published battery of rules that we have encoded with care " +
+      "and a bit of patience for good measure to finish"
+    val rows = Seq(
+      (0L, good),                                              // passes all
+      (1L, "too short to count"),                              // word count
+      (2L, good + (" ####" * 20)),                             // symbol ratio
+      (3L, good + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g"),      // bullets
+      (4L, good + "\nends one…\nends two…\nends three…"),      // ellipses
+      (5L, ("12345 " * 60) + "the of and"),                    // alpha ratio
+      (6L, good.replace("the", "xx").replace("with", "yy")
+             .replace("that", "zz").replace("of", "qq")
+             .replace("and", "rr").replace("to", "ss"))        // stop words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(rows, "doc_id", "text")
+      .select($"doc_id", $"pass").as[(Long, Boolean)].collect().toMap
+    assert(out(0L), "the good doc must pass")
+    (1L to 6L).foreach(i => assert(!out(i), s"doc $i should fail"))
+  }
+
   test("mixture sampling is deterministic and monotone in the weight") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
