@@ -38,7 +38,9 @@ object ParseDemo {
     println(s"input bytes: ${bytes.length}")
     println(s"elements: $elems  textNodes: $texts  textChars: $chars  comments: $comments")
     println(s"quirksMode: ${result.doc.quirksMode}  detectedCharset: ${result.detectedCharset}")
-    println(s"parse errors (first ${result.errors.take(5).length} of ${result.errors.length}): ${result.errors.take(5).mkString("; ")}")
+    val annotated = Locators.annotate(result.errors.take(5).toSeq,
+      HtmlParser.normalize(HtmlParser.decodeUtf8(bytes)))
+    println(s"parse errors (first ${annotated.length} of ${result.errors.length}): ${annotated.mkString("; ")}")
     if (reps > 1) println(f"best: ${best / 1e6}%.1f ms  avg: ${total / reps / 1e6}%.1f ms  throughput(best): ${bytes.length / (best / 1e9) / 1e6}%.1f MB/s")
     if (showTree) println(Serializer.html5libFormat(result.doc))
   }
