@@ -33,17 +33,21 @@ object Decontamination {
     val benchGrams = bench
       .select(explode(SketchFunctions.word_shingles(col(benchTextCol), k)).as("g"))
       .distinct()
-    val hits = docs
-      .select(col(idCol).as("id"),
-        explode(SketchFunctions.word_shingles(col(textCol), k)).as("g"))
-      .join(broadcast(benchGrams), "g")
-      .groupBy("id").agg(count(lit(1)).as("hits"))
+      .withColumn("__hit", lit(1))
+    // single corpus pass: the shingle kernel (the dominant cost — split +
+    // per-char hashing of every document) runs ONCE; ngrams rides the
+    // exploded rows and the broadcast left join marks hits, so the partial
+    // aggregate collapses to one (id, ngrams, hits) row per doc before the
+    // only exchange. explode_outer keeps short docs (empty shingle arrays).
     docs
       .select(col(idCol).as("id"),
-        size(SketchFunctions.word_shingles(col(textCol), k)).as("ngrams"))
-      .join(hits, Seq("id"), "left")
-      .select(col("id"), col("ngrams"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+        SketchFunctions.word_shingles(col(textCol), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("ngrams"),
+        explode_outer(col("sh")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy("id", "ngrams")
+      .agg(count(col("__hit")).as("hits"))
+      .select(col("id"), col("ngrams"), col("hits"),
+        (col("hits") > 0).as("contaminated"))
   }
 }

@@ -252,7 +252,8 @@ object Dedup {
     val dropSets = lines.join(firsts, Seq("h1", "h2"))
       .filter(struct(col("id"), col("idx")) =!= col("first"))
       .groupBy("id").agg(collect_set(col("idx")).as("drop_idx"))
-    docs.join(dropSets, col(idCol) === dropSets("id"), "left")
+      .withColumnRenamed("id", "__ll_id") // callers may name their id col "id"
+    docs.join(dropSets, col(idCol) === col("__ll_id"), "left")
       .select(col(idCol),
         when(col("drop_idx").isNull, col(textCol)).otherwise(array_join(
           filter(split(col(textCol), "\n", -1),

@@ -26,6 +26,9 @@ object Mixing {
       "weights must be in [0, 1]")
     val w = coalesce(element_at(typedLit(weights), col(sourceCol)),
       lit(defaultWeight))
-    docs.filter(pmod(hashCol, lit(1000000L)) < (w * 1000000.0).cast("long"))
+    // round, don't truncate: 0.3*1e6 is 299999.9999... in IEEE double and a
+    // cast would land one millionth below the decimal-arithmetic threshold
+    // an oracle (or a human) computes
+    docs.filter(pmod(hashCol, lit(1000000L)) < round(w * 1000000.0).cast("long"))
   }
 }

@@ -149,19 +149,30 @@ object Robots {
 
   /** Lower-cased host of a URL, "" when there is none (scheme-relative
     * and path-only inputs match no robots row → allow-all). */
+  /** Host of a URL, lowercased with the SAME rule as Spark's `lower()`
+    * (Locale.ROOT full-Unicode mapping) — the robots map keys are built
+    * with `lower(col("host"))`, so an ASCII-only fold here would miss
+    * hosts containing uppercase non-ASCII letters and silently allow
+    * their disallowed pages. ASCII stays on the allocation-light path. */
   private[operators] def hostOf(url: String): String = {
     val ss = url.indexOf("://")
     if (ss < 0) return ""
     var i = ss + 3
     val n = url.length
     val sb = new java.lang.StringBuilder(24)
+    var ascii = true
     while (i < n) {
       val c = url.charAt(i)
-      if (c == '/' || c == '?' || c == '#') return sb.toString
+      if (c == '/' || c == '?' || c == '#') {
+        val s = sb.toString
+        return if (ascii) s else s.toLowerCase(java.util.Locale.ROOT)
+      }
+      if (c >= 0x80) ascii = false
       sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
       i += 1
     }
-    sb.toString
+    val s = sb.toString
+    if (ascii) s else s.toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Filter `pages(url, ...)` to the rows `robots(host, robots_txt)`

@@ -42,13 +42,15 @@ object Warc {
   /** Deterministic record id. ISO 28500 requires ids to be globally
     * unique, so the URI hash alone is not enough (recrawls of one URL in
     * one file would collide — ADVICE r03 #4): the capture date and a
-    * caller-supplied sequence number are mixed in. Still clock- and
+    * caller-supplied sequence number are mixed in, and the id is a full
+    * 128-bit name-based UUID — a 64-bit digest would reach birthday
+    * collisions (~N²/2⁶⁵) within a 10¹⁰-record crawl. Still clock- and
     * randomness-free, so built files stay byte-reproducible. */
   private def recordId(kind: String, url: String, dateIso: String, seq: Long): String = {
     val u = if (url == null) "" else url
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(u)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(s"$dateIso#$seq")
-    f"<urn:graft:$kind$h1%08x-$h2%08x>"
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft:$kind:$u#$dateIso#$seq".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"<urn:uuid:$uuid>"
   }
 
   /** Deterministic WARC/1.0 response record with an embedded HTTP/1.1

@@ -36,10 +36,16 @@ object WarcSource {
     val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
     val out = Seq.newBuilder[String]
     def keep(name: String): Boolean = !name.startsWith("_") && !name.startsWith(".")
-    def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
-      if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
-      else if (keep(st.getPath.getName)) out += st.getPath.toString
-    matched.foreach(walk)
+    // keep() applies to DIRECTORY names too: a dead job's _temporary tree
+    // holds partial/duplicate segments that must not be ingested (mirrors
+    // InMemoryFileIndex.shouldFilterOut). An explicitly-passed root is
+    // honored regardless of its name.
+    def walk(st: org.apache.hadoop.fs.FileStatus, isRoot: Boolean): Unit =
+      if (st.isDirectory) {
+        if (isRoot || keep(st.getPath.getName))
+          fs.listStatus(st.getPath).foreach(walk(_, isRoot = false))
+      } else if (isRoot || keep(st.getPath.getName)) out += st.getPath.toString
+    matched.foreach(walk(_, isRoot = true))
     out.result()
   }
 
@@ -58,9 +64,6 @@ object WarcSource {
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(conf.value)
           val raw = fs.open(hp)
-          val tc = org.apache.spark.TaskContext.get()
-          if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
-            try raw.close() catch { case _: java.io.IOException => () })
           val pb = new java.io.PushbackInputStream(
             new java.io.BufferedInputStream(raw, 1 << 16), 2)
           val b0 = pb.read(); val b1 = pb.read()
@@ -69,6 +72,12 @@ object WarcSource {
           val in: java.io.InputStream =
             if (b0 == 0x1F && b1 == 0x8B) new java.util.zip.GZIPInputStream(pb)
             else pb
+          // close the OUTER stream (cascades to raw): GZIPInputStream holds a
+          // native Inflater that is only freed by close()/end() — closing raw
+          // alone leaks zlib memory until GC on long-lived executors
+          def closeAll(): Unit = try in.close() catch { case _: java.io.IOException => () }
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
           val recs = Warc.records(in).collect {
             case r if r.warcType == "response" =>
               (r.targetUri, parseTs(r.date), Warc.htmlPayload(r))
@@ -76,7 +85,7 @@ object WarcSource {
           new Iterator[(String, java.sql.Timestamp, Array[Byte])] {
             override def hasNext: Boolean = {
               val h = recs.hasNext
-              if (!h) try raw.close() catch { case _: java.io.IOException => () }
+              if (!h) closeAll()
               h
             }
             override def next(): (String, java.sql.Timestamp, Array[Byte]) = recs.next()

@@ -316,6 +316,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == expected.toSeq)
   }
 
+  test("line-level dedup works when the caller's id column is named \"id\"") {
+    import spark.implicits._
+    val rows = Seq((1L, "dup line here\nunique a"), (2L, "dup line here\nunique b"))
+      .toDF("id", "text")
+    val out = Dedup.lineLevel(rows, "id", "text")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) == "dup line here\nunique a")
+    assert(out(2L) == "unique b")
+  }
+
   test("line-level dedup: within-document repeats collapse to the first copy") {
     import spark.implicits._
     val rows = Seq(
