@@ -82,7 +82,7 @@ object UrlFunctions {
   def canonicalize(url: String): String = {
     val ss = url.indexOf("://")
     if (ss <= 0) return url // not an absolute hierarchical URL: pass through
-    val scheme = url.substring(0, ss).toLowerCase
+    val scheme = url.substring(0, ss).toLowerCase(java.util.Locale.ROOT)
     if (scheme != "http" && scheme != "https") return url
     var i = ss + 3
     val n = url.length
@@ -99,7 +99,7 @@ object UrlFunctions {
     var host = authority
     var port = ""
     if (colon > close) { host = authority.substring(0, colon); port = authority.substring(colon + 1) }
-    host = host.toLowerCase
+    host = host.toLowerCase(java.util.Locale.ROOT)
     val defaultPort = if (scheme == "http") "80" else "443"
     val portPart = if (port.isEmpty || port == defaultPort) "" else ":" + port
     // path / query / fragment

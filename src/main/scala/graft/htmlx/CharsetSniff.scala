@@ -43,7 +43,7 @@ object CharsetSniff {
     * prescan the tree builder runs post-decode, but over raw bytes. */
   def declaredCharset(bytes: Array[Byte], limit: Int = 2048): Option[String] = {
     val n = math.min(bytes.length, limit)
-    val hay = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val hay = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
     val mIdx = hay.indexOf("charset")
     if (mIdx < 0) return None
     var i = mIdx + "charset".length

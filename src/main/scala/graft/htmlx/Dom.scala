@@ -71,7 +71,7 @@ object Dom {
     getElementsByTagName(doc, "meta").foreach { m =>
       val key = m.attr("name").orElse(m.attr("property")).orElse(m.attr("http-equiv"))
       (key, m.attr("content")) match {
-        case (Some(k), Some(v)) if !out.contains(k.toLowerCase) => out(k.toLowerCase) = v
+        case (Some(k), Some(v)) if !out.contains(k.toLowerCase(java.util.Locale.ROOT)) => out(k.toLowerCase(java.util.Locale.ROOT)) = v
         case _ => ()
       }
     }

@@ -18,7 +18,7 @@ object SpecNames {
     "html", "iframe", "img", "input", "isindex", "li", "link", "listing",
     "main", "marquee", "menu", "meta", "nav", "noembed", "noframes",
     "noscript", "object", "ol", "p", "param", "plaintext", "pre", "script",
-    "section", "select", "source", "style", "summary", "table", "tbody",
+    "search", "section", "select", "source", "style", "summary", "table", "tbody",
     "td", "template", "textarea", "tfoot", "th", "thead", "title", "tr",
     "track", "ul", "wbr", "xmp")
 
@@ -70,7 +70,7 @@ object SpecNames {
     "feMergeNode", "feMorphology", "feOffset", "fePointLight",
     "feSpecularLighting", "feSpotLight", "feTile", "feTurbulence",
     "foreignObject", "glyphRef", "linearGradient", "radialGradient",
-    "textPath").map(n => n.toLowerCase -> n).toMap
+    "textPath").map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
 
   /** SVG camelCase attribute fixups (spec table). */
   val svgAttrFix: Map[String, String] = Seq(
@@ -89,7 +89,7 @@ object SpecNames {
     "spreadMethod", "startOffset", "stdDeviation", "stitchTiles",
     "surfaceScale", "systemLanguage", "tableValues", "targetX",
     "targetY", "textLength", "viewBox", "viewTarget", "xChannelSelector",
-    "yChannelSelector", "zoomAndPan").map(n => n.toLowerCase -> n).toMap
+    "yChannelSelector", "zoomAndPan").map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
 
   /** MathML text integration points. */
   def isMathmlTextIP(name: String, ns: String): Boolean =
@@ -101,7 +101,7 @@ object SpecNames {
     if (e.ns eq Ns.svg) e.name == "foreignObject" || e.name == "desc" || e.name == "title"
     else if (e.ns eq Ns.mathml)
       e.name == "annotation-xml" && {
-        val enc = e.attr("encoding").map(_.toLowerCase).getOrElse("")
+        val enc = e.attr("encoding").map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
         enc == "text/html" || enc == "application/xhtml+xml"
       }
     else false

@@ -139,7 +139,14 @@ final class TreeBuilder extends TokenHandler {
 
   private def push(name: String, ns: String, node: HElement): Unit =
     stack += new StackEntry(name, ns, node)
-  private def pop(): StackEntry = stack.remove(stack.length - 1)
+  /** Never pops the root html entry: spec-conformant flows never reach it,
+    * but the depth-cap degraded mode can (insertElement skips the push at
+    * `maxStackDepth` while e.g. select/hr, isindex, and Text-mode handlers
+    * pop unconditionally) — without the floor a hostile 512-deep document
+    * could drain the stack and crash the next `current` access. */
+  private def pop(): StackEntry =
+    if (stack.length == 1) current
+    else stack.remove(stack.length - 1)
 
   /** A template element's insertion parent is its contents fragment
     * (spec 13.2.6.1 final step: "if the adjusted insertion location is
@@ -154,8 +161,7 @@ final class TreeBuilder extends TokenHandler {
     val target = if (overrideTarget != null) overrideTarget else currentNode
     val tn = if (overrideTarget != null) null else current.name
     val targetName = if (overrideTarget != null) targetNameOf(overrideTarget) else tn
-    if (fosterEnabled && (targetName == "table" || targetName == "tbody" ||
-        targetName == "tfoot" || targetName == "thead" || targetName == "tr"))
+    if (fosterEnabled && fosterTargets(targetName))
       fosterPlaceForTable()
     else (asInsertionParent(target), null)
   }
@@ -304,7 +310,7 @@ final class TreeBuilder extends TokenHandler {
 
   private def popUntil(name: String): Unit = {
     var done = false
-    while (!done && stack.nonEmpty) {
+    while (!done && stack.length > 1) {
       val e = pop()
       if ((e.ns eq Ns.html) && e.name == name) done = true
     }
@@ -312,7 +318,7 @@ final class TreeBuilder extends TokenHandler {
 
   private def popUntilElem(elem: HElement): Unit = {
     var done = false
-    while (!done && stack.nonEmpty) {
+    while (!done && stack.length > 1) {
       val e = pop()
       if (e.node eq elem) done = true
     }
@@ -593,7 +599,11 @@ final class TreeBuilder extends TokenHandler {
             var stopScan = false
             while (j > 0 && !stopScan) {
               j -= 1
-              val a = if (j == 0 && isFragment) contextEntry else stack(j)
+              // the ancestor scan walks STACK entries only — the spec's
+              // fragment-context substitution applies to the outer reset
+              // walk, not this sub-loop (a context table outside the
+              // fragment must not force in-select-in-table)
+              val a = stack(j)
               // spec: a template between select and table blocks the
               // in-select-in-table variant
               if ((a.ns eq Ns.html) && a.name == "template") stopScan = true
@@ -732,7 +742,10 @@ final class TreeBuilder extends TokenHandler {
       case Text =>
         insertChars(s, from, to)
       case InTable | InTableBody | InRow =>
-        if (fosterTargets(if (current.ns eq Ns.html) current.name else "")) {
+        // pend list = foster targets PLUS template (spec 13.2.6.4.9 —
+        // template is pended here but is NOT a foster-parenting target)
+        if ({ val n = if (current.ns eq Ns.html) current.name else ""
+              fosterTargets(n) || n == "template" }) {
           tableTextPending = true
           tableText.append(s, from, to)
         } else {
@@ -805,8 +818,8 @@ final class TreeBuilder extends TokenHandler {
 
   private def computeQuirks(name: String, publicId: String, systemId: String, forceQuirks: Boolean): String = {
     if (forceQuirks || name != "html") return "quirks"
-    val pub = if (publicId == null) null else publicId.toLowerCase
-    val sys = if (systemId == null) null else systemId.toLowerCase
+    val pub = if (publicId == null) null else publicId.toLowerCase(java.util.Locale.ROOT)
+    val sys = if (systemId == null) null else systemId.toLowerCase(java.util.Locale.ROOT)
     if (pub != null) {
       if (quirkyPublicIdPrefixes.exists(pub.startsWith)) return "quirks"
       if (pub == "-//w3o//dtd w3 html strict 3.0//en//" ||
@@ -1243,7 +1256,7 @@ final class TreeBuilder extends TokenHandler {
       case _ =>
         if (attrs.get("http-equiv").exists(_.equalsIgnoreCase("content-type"))) {
           attrs.get("content").foreach { content =>
-            val lc = content.toLowerCase
+            val lc = content.toLowerCase(java.util.Locale.ROOT)
             val i = lc.indexOf("charset=")
             if (i >= 0) {
               var v = content.substring(i + 8).trim
@@ -1260,13 +1273,15 @@ final class TreeBuilder extends TokenHandler {
   private def inBodyStartTag(name: String, attrs: AttrList, selfClosing: Boolean): Unit = name match {
     case "html" =>
       err("stray html tag")
-      addMissingAttrs(stack(0).node, attrs)
+      // spec: ignored entirely when a template is open — attributes must
+      // not leak onto the real root from inside template contents
+      if (!hasTemplateOnStack) addMissingAttrs(stack(0).node, attrs)
     case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
          "script" | "style" | "template" | "title" =>
       startTagMode(InHead, name, attrs, selfClosing)
     case "body" =>
       err("stray body tag")
-      if (stack.length >= 2 && stack(1).name == "body") {
+      if (stack.length >= 2 && stack(1).name == "body" && !hasTemplateOnStack) {
         framesetOk = false
         addMissingAttrs(stack(1).node, attrs)
       }
@@ -1282,7 +1297,7 @@ final class TreeBuilder extends TokenHandler {
     case "address" | "article" | "aside" | "blockquote" | "center" | "details" |
          "dialog" | "dir" | "div" | "dl" | "fieldset" | "figcaption" | "figure" |
          "footer" | "header" | "hgroup" | "main" | "menu" | "nav" | "ol" | "p" |
-         "section" | "summary" | "ul" =>
+         "search" | "section" | "summary" | "ul" =>
       closePIfInButtonScope()
       insertElement(name, attrs)
     case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
@@ -1531,14 +1546,14 @@ final class TreeBuilder extends TokenHandler {
       endTagMode(mode, name)
       return
     }
-    if (current.name.toLowerCase != name) err("end tag mismatch in foreign content")
+    if (current.name.toLowerCase(java.util.Locale.ROOT) != name) err("end tag mismatch in foreign content")
     var i = stack.length - 1
     var done = false
     while (!done) {
       if (i == 0) done = true // fragment root
       else {
         val node = stack(i)
-        if (node.name.toLowerCase == name) {
+        if (node.name.toLowerCase(java.util.Locale.ROOT) == name) {
           while (stack.length > i) pop()
           done = true
         } else {
@@ -1781,7 +1796,8 @@ final class TreeBuilder extends TokenHandler {
     case "address" | "article" | "aside" | "blockquote" | "button" | "center" |
          "details" | "dialog" | "dir" | "div" | "dl" | "fieldset" |
          "figcaption" | "figure" | "footer" | "header" | "hgroup" | "listing" |
-         "main" | "menu" | "nav" | "ol" | "pre" | "section" | "summary" | "ul" =>
+         "main" | "menu" | "nav" | "ol" | "pre" | "search" | "section" |
+         "summary" | "ul" =>
       if (!hasInScope(name)) err("stray end tag " + name)
       else {
         generateImpliedEndTags()

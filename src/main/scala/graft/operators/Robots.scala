@@ -85,7 +85,7 @@ object Robots {
 
   /** Parse robots.txt for the given product token (e.g. "graftbot"). */
   def parse(txt: String, agent: String): Rules = {
-    val agentLc = agent.toLowerCase
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     var specific = Vector.empty[Rule]
     var wildcard = Vector.empty[Rule]
     var sawSpecific = false
@@ -113,12 +113,12 @@ object Robots {
       if (line.nonEmpty) {
         val c = line.indexOf(':')
         if (c > 0) {
-          val key = line.substring(0, c).trim.toLowerCase
+          val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(c + 1).trim
           key match {
             case "user-agent" =>
               if (inRules) { flush(); inRules = false }
-              groupAgents ::= value.toLowerCase
+              groupAgents ::= value.toLowerCase(java.util.Locale.ROOT)
             case "allow" =>
               inRules = true
               current :+= Rule(value, allow = true)

@@ -60,7 +60,7 @@ object Sitemaps {
 
   def parse(bytes: Array[Byte]): Sitemap = {
     val xml = new String(ungzip(bytes), java.nio.charset.StandardCharsets.UTF_8)
-    val lower = xml.toLowerCase
+    val lower = xml.toLowerCase(java.util.Locale.ROOT)
     val isIndex = {
       val ui = lower.indexOf("<urlset")
       val si = lower.indexOf("<sitemapindex")

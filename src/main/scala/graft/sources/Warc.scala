@@ -232,7 +232,7 @@ object Warc {
           while (line.nonEmpty) {
             val i = line.indexOf(':')
             if (i > 0) {
-              val name = line.substring(0, i).trim.toLowerCase
+              val name = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
               val v = line.substring(i + 1).trim
               name match {
                 case "warc-type" => warcType = v

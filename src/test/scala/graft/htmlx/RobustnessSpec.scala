@@ -63,6 +63,23 @@ class RobustnessSpec extends AnyFunSuite {
     assert(sec < 30.0, s"pathological parse too slow: $sec s")
   }
 
+  test("depth-cap degraded mode never drains the open-elements stack") {
+    // At maxStackDepth inserts skip the push but several handlers still pop
+    // unconditionally (isindex pops form+label, Text-mode end tags, select
+    // option churn). Cycle pop-heavy constructs with refills right at the
+    // cap: pre-hardening this shape walks the stack floor downward; the
+    // root html entry must survive and the parse must stay deterministic.
+    val deep = "<div>" * 600
+    val churn = ("<isindex></form><textarea>t</textarea><select><option>o" +
+      "</select><div><div><div>") * 400
+    val html = deep + churn + "<p>alive"
+    val r1 = HtmlParser.parseDocument(html)
+    val r2 = HtmlParser.parseDocument(html)
+    assert(r1.doc.children.nonEmpty)
+    assert(Serializer.html5libFormat(r1.doc) == Serializer.html5libFormat(r2.doc))
+    assert(graft.extract.Extractor.extract(r1.doc).text.contains("alive"))
+  }
+
   test("engine reuse never leaks state between documents") {
     val engine = new HtmlParser.Engine
     runProp(Prop.forAll(soup, soup) { (a, b) =>

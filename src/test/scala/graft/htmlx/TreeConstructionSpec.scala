@@ -78,7 +78,12 @@ class TreeConstructionSpec extends AnyFunSuite {
     // (tools/gen_*.py) — expected trees derived from an independent Python
     // implementation of the spec rule, NOT from the engine; disagreements
     // are real findings in one of the two implementations.
-    "h5-scriptstates.dat", "h5-rawlike.dat", "h5-inbodygen.dat", "h5-quirksmatrix.dat", "h5-commentgen.dat", "h5-attrgen.dat", "h5-foreignmatrix.dat", "h5-tablematrix.dat", "h5-selectmatrix.dat", "h5-modesgen.dat", "h5-framesetgen.dat", "h5-leadinglf.dat", "h5-cdatagen.dat", "h5-aaagen.dat", "h5-aaafoster.dat", "h5-templategen.dat")
+    "h5-scriptstates.dat", "h5-rawlike.dat", "h5-inbodygen.dat", "h5-quirksmatrix.dat", "h5-commentgen.dat", "h5-attrgen.dat", "h5-foreignmatrix.dat", "h5-tablematrix.dat", "h5-selectmatrix.dat", "h5-modesgen.dat", "h5-framesetgen.dat", "h5-leadinglf.dat", "h5-cdatagen.dat", "h5-aaagen.dat", "h5-aaafoster.dat", "h5-templategen.dat",
+    // r4review.dat: targeted cases for the round-4 max-effort review fixes
+    // (template attr-leak guards, <search> element, in-table text pend with
+    // template current node + AFE reconstruct) — trees reviewed case-by-case
+    // against spec 13.2.6.4.7/13.2.6.4.9 before commit.
+    "r4review.dat")
 
   for (f <- files; c <- loadCases(f)) {
     test(s"${c.file} #${c.idx}: ${c.data.take(50).replace("\n", "\\n")}") {

@@ -619,8 +619,10 @@ class Builder:
     # -------------------------------------------------------------- in table
     def m_in_table(self, tok):
         kind = tok[0]
+        # spec 13.2.6.4.9 pend list INCLUDES template (it is not a foster
+        # target, but table text with a template current node still pends)
         if kind == "text" and self.current().tag in (
-                "table", "tbody", "tfoot", "thead", "tr"):
+                "table", "tbody", "tfoot", "thead", "tr", "template"):
             self.pending = []
             self.orig_mode = self.mode
             self.mode = IN_TABLE_TEXT
