@@ -189,13 +189,25 @@ object Extractor {
   def segment(root: HParent): Vector[TextBlock] = {
     val out = new ArrayBuffer[TextBlock](32)
     val cur = new java.lang.StringBuilder
+    // anchor text accumulates here and is word-counted per contiguous run,
+    // not per text node — "<a>New<b>York</b></a>" is ONE linked word; a
+    // per-node count would see two and inflate linkDensity
+    val linkedBuf = new java.lang.StringBuilder
     var curLinked = 0
     var curPath = "body"
     var curHeading = false
     var curPenalized = false
     var anchorDepth = 0
 
+    def settleLinked(): Unit = {
+      if (linkedBuf.length > 0) {
+        curLinked += countWords(linkedBuf)
+        linkedBuf.setLength(0)
+      }
+    }
+
     def flush(): Unit = {
+      settleLinked() // a block boundary inside an open <a> splits the run
       // most flushes are empty (flush runs twice per block element): reset
       // and bail before allocating anything
       if (cur.length == 0) { curLinked = 0; curHeading = false; return }
@@ -236,7 +248,7 @@ object Extractor {
             elemIdx += 1
           case t: HText =>
             cur.append(t.sb)
-            if (anchorDepth > 0) curLinked += countWords(t.sb)
+            if (anchorDepth > 0) linkedBuf.append(t.sb)
           case _ => ()
         }
         i += 1
@@ -265,6 +277,7 @@ object Extractor {
           anchorDepth += 1
           walkChildren(e, childPath, childHeading, childPen)
           anchorDepth -= 1
+          if (anchorDepth == 0) settleLinked()
         } else {
           walkChildren(e, childPath, childHeading, childPen)
         }

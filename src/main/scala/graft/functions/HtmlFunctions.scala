@@ -33,29 +33,11 @@ object HtmlFunctions {
       else {
         val d = s.charAt(i + 1)
         if (d == '#') {
-          // numeric
-          var q = i + 2
-          var hex = false
-          if (q < n && (s.charAt(q) == 'x' || s.charAt(q) == 'X')) { hex = true; q += 1 }
-          var digits = 0
-          var value = 0L
-          while (q < n && {
-            val ch = s.charAt(q)
-            if (hex) (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
-            else ch >= '0' && ch <= '9'
-          }) {
-            val ch = s.charAt(q)
-            val dv = if (ch <= '9') ch - '0' else (ch | 0x20) - 'a' + 10
-            if (value < 0x110000) value = value * (if (hex) 16 else 10) + dv
-            digits += 1
-            q += 1
-          }
-          if (digits == 0) { sb.append('&'); i += 1 }
-          else {
-            if (q < n && s.charAt(q) == ';') q += 1
-            sb.append(Entities.numericToString(if (value > 0x10FFFF) 0x110000 else value.toInt))
-            i = q
-          }
+          // numeric — shared parser (Entities.parseNumeric) with the
+          // tokenizer so clamp/overflow rules cannot drift
+          val (consumed, repl, _) = Entities.parseNumeric(s, i + 1)
+          if (consumed == 0) { sb.append('&'); i += 1 }
+          else { sb.append(repl); i = i + 1 + consumed }
         } else if (d == '&' || d == '<' || d == '\u0000' || d == ' ' || d == '\t' ||
                    d == '\n' || d == '\f') {
           sb.append('&'); i += 1
@@ -72,14 +54,14 @@ object HtmlFunctions {
   /** All rendered text of the document (innerText-ish: script/style/head
     * excluded, block boundaries → '\n'). */
   def stripHtmlString(html: String): String = {
-    val doc = HtmlParser.parseDocument(html).doc
+    val doc = HtmlParser.parseDocumentReusing(html).doc
     val blocks = Extractor.segment(doc)
     blocks.map(_.text).mkString("\n")
   }
 
   /** Main-content extraction as a scalar (same engine as the pipeline). */
   def extractMainString(html: String): String =
-    Extractor.extract(HtmlParser.parseDocument(html).doc).text
+    Extractor.extract(HtmlParser.parseDocumentReusing(html).doc).text
 
   // ---------------------------------------------------- Catalyst exprs
 
@@ -113,18 +95,9 @@ object HtmlFunctions {
     * when absent. */
   case class ExtractTitle(child: Expression) extends StringMapExpression {
     protected def mapString(s: String): String = {
-      val doc = HtmlParser.parseDocument(s).doc
-      def find(p: graft.htmlx.HParent): Option[graft.htmlx.HElement] =
-        p.children.iterator.flatMap {
-          case e: graft.htmlx.HElement if e.isHtmlNs && e.name == "title" => Iterator.single(e)
-          case e: graft.htmlx.HElement => find(e).iterator
-          case _ => Iterator.empty
-        }.nextOption()
-      find(doc).map { t =>
-        val sb = new java.lang.StringBuilder
-        t.children.foreach { case tx: graft.htmlx.HText => sb.append(tx.sb); case _ => () }
-        Extractor.normalizeWs(sb.toString).trim
-      }.getOrElse("")
+      val doc = HtmlParser.parseDocumentReusing(s).doc
+      graft.htmlx.Dom.title(doc)
+        .map(t => Extractor.normalizeWs(t).trim).getOrElse("")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
     override def prettyName: String = "extract_title"
@@ -141,7 +114,7 @@ object HtmlFunctions {
         containsNull = false)
     override def prettyName: String = "extract_links"
     override def nullSafeEval(v: Any): Any = {
-      val doc = HtmlParser.parseDocument(v.asInstanceOf[UTF8String].toString).doc
+      val doc = HtmlParser.parseDocumentReusing(v.asInstanceOf[UTF8String].toString).doc
       val ls = Extractor.links(doc)
       val rows = new Array[Any](ls.length)
       var i = 0
@@ -169,5 +142,6 @@ object HtmlFunctions {
     reg.createOrReplaceTempFunction("strip_html", es => StripHtml(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_main", es => ExtractMain(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_title", es => ExtractTitle(es.head), "scala_udf")
   }
 }

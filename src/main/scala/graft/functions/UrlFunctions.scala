@@ -92,13 +92,18 @@ object UrlFunctions {
       while (j < n && url.charAt(j) != ']') j += 1
     }
     while (j < n && url.charAt(j) != '/' && url.charAt(j) != '?' && url.charAt(j) != '#') j += 1
-    var authority = url.substring(i, j)
+    val authority = url.substring(i, j)
+    // userinfo passes through verbatim (credentials are case-sensitive);
+    // only the host after the last '@' is case-folded and port-split
+    val at = authority.lastIndexOf('@')
+    val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
+    val hostport = if (at >= 0) authority.substring(at + 1) else authority
     // split port (after the last ':' that is outside any [..])
-    val close = authority.lastIndexOf(']')
-    val colon = authority.lastIndexOf(':')
-    var host = authority
+    val close = hostport.lastIndexOf(']')
+    val colon = hostport.lastIndexOf(':')
+    var host = hostport
     var port = ""
-    if (colon > close) { host = authority.substring(0, colon); port = authority.substring(colon + 1) }
+    if (colon > close) { host = hostport.substring(0, colon); port = hostport.substring(colon + 1) }
     host = host.toLowerCase(java.util.Locale.ROOT)
     val defaultPort = if (scheme == "http") "80" else "443"
     val portPart = if (port.isEmpty || port == defaultPort) "" else ":" + port
@@ -116,7 +121,7 @@ object UrlFunctions {
       if (query.isEmpty) query = null
     }
     val sb = new java.lang.StringBuilder(url.length)
-    sb.append(scheme).append("://").append(host).append(portPart).append(path)
+    sb.append(scheme).append("://").append(userinfo).append(host).append(portPart).append(path)
     if (query != null) sb.append('?').append(query)
     sb.toString
   }

@@ -77,6 +77,38 @@ object Entities {
     * the spec (overflow, NUL, surrogates → U+FFFD; C1 → Windows-1252;
     * astral → surrogate pair).
     */
+  /** Parse a numeric character reference whose '#' is at `from`. Returns
+    * (consumed chars incl '#' and any ';', replacement, sawSemicolon);
+    * (0, null, false) when no digits follow. Single home for the digit
+    * fold with its < 0x110000 clamp and the overflow → U+FFFD mapping —
+    * shared by the tokenizer and the decode_entities scalar function so
+    * the two cannot drift. */
+  def parseNumeric(s: CharSequence, from: Int): (Int, String, Boolean) = {
+    val n = s.length
+    var q = from + 1
+    var hex = false
+    if (q < n && (s.charAt(q) == 'x' || s.charAt(q) == 'X')) { hex = true; q += 1 }
+    var digits = 0
+    var value = 0L
+    while (q < n && {
+      val c = s.charAt(q)
+      if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      else c >= '0' && c <= '9'
+    }) {
+      val c = s.charAt(q)
+      val d = if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+      if (value < 0x110000) value = value * (if (hex) 16 else 10) + d
+      digits += 1
+      q += 1
+    }
+    if (digits == 0) (0, null, false)
+    else {
+      var semi = false
+      if (q < n && s.charAt(q) == ';') { q += 1; semi = true }
+      (q - from, numericToString(if (value > 0x10FFFF) 0x110000 else value.toInt), semi)
+    }
+  }
+
   def numericToString(value: Int): String = {
     if (value == 0 || value > 0x10FFFF || (value >= 0xD800 && value <= 0xDFFF)) "�"
     else if (value >= 0x80 && value <= 0x9F) windows1252(value - 0x80).toString

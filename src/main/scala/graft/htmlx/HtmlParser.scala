@@ -53,6 +53,14 @@ object HtmlParser {
 
   def parseDocument(html: String): ParseResult = new Engine().parse(html)
 
+  /** Per-thread reusable engine for row-at-a-time call sites (the scalar
+    * Catalyst expressions) that sit outside the pipeline's per-partition
+    * engine reuse. Safe because reset() starts every parse on a fresh
+    * HDocument — previously returned trees are never touched again. */
+  private val threadEngine: ThreadLocal[Engine] =
+    ThreadLocal.withInitial(() => new Engine)
+  def parseDocumentReusing(html: String): ParseResult = threadEngine.get.parse(html)
+
   def parseBytes(bytes: Array[Byte]): ParseResult = parseDocument(decodeUtf8(bytes))
 
   final case class FragmentResult(fragment: HFragment, errors: Seq[String])

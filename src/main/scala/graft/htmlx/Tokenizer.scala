@@ -132,7 +132,7 @@ final class Tokenizer(handler: TokenHandler) {
     if (!seededModel) { cmodel = Data; expectedEndTag = null }
     seededModel = false
     textBuf.setLength(0) // engine reuse: clear scratch from any aborted parse
-    while (p < n || pendingEof()) {
+    while (p < n) {
       cmodel match {
         case Data      => dataState()
         case Rcdata    => rcdataState()
@@ -144,8 +144,6 @@ final class Tokenizer(handler: TokenHandler) {
     flushText()
     handler.eof()
   }
-
-  private def pendingEof(): Boolean = false // loop exits when p >= n
 
   // ---------------------------------------------------------------- data
 
@@ -626,7 +624,13 @@ final class Tokenizer(handler: TokenHandler) {
     while (p < n && isWs(s.charAt(p))) p += 1
     if (p >= n) { err("eof-in-doctype"); forceQuirks = true; emit(); return }
     if (s.charAt(p) == '>') { p += 1 }
-    else { err("bogus-doctype"); bogusDoctypeRest() }
+    else {
+      err("bogus-doctype"); bogusDoctypeRest()
+      // unlike the other call sites this one doesn't rejoin the common
+      // tail, so consume the terminating '>' here or it re-enters the
+      // data state as a stray text character
+      if (p < n) p += 1
+    }
     emit()
   }
 
@@ -714,33 +718,16 @@ final class Tokenizer(handler: TokenHandler) {
   }
 
   private def numericCharRef(out: java.lang.StringBuilder): Unit = {
-    // p at '#'
-    var q = p + 1
-    var value = 0L
-    var digits = 0
-    var hex = false
-    if (q < n && (s.charAt(q) == 'x' || s.charAt(q) == 'X')) { hex = true; q += 1 }
-    while (q < n && {
-      val c = s.charAt(q)
-      if (hex) isHexDigit(c) else (c >= '0' && c <= '9')
-    }) {
-      val c = s.charAt(q)
-      val d = if (c <= '9') c - '0' else (lower(c) - 'a' + 10)
-      if (value < 0x110000) value = value * (if (hex) 16 else 10) + d
-      digits += 1
-      q += 1
-    }
-    if (digits == 0) {
+    // p at '#'; the digit fold lives in Entities.parseNumeric (shared with
+    // the decode_entities scalar function)
+    val (consumed, repl, semi) = Entities.parseNumeric(s, p)
+    if (consumed == 0) {
       err("absence-of-digits-in-numeric-character-reference")
       out.append('&') // '#' and any 'x' emitted literally by falling through
       return
     }
-    if (q < n && s.charAt(q) == ';') q += 1
-    else err("missing-semicolon-after-character-reference")
-    p = q
-    out.append(Entities.numericToString(if (value > 0x10FFFF) 0x110000 else value.toInt))
+    if (!semi) err("missing-semicolon-after-character-reference")
+    p += consumed
+    out.append(repl)
   }
-
-  private def isHexDigit(c: Char): Boolean =
-    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 }

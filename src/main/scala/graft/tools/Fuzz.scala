@@ -18,7 +18,8 @@ object Fuzz {
     "tbody", "form", "input", "button", "script", "style", "title",
     "textarea", "pre", "frameset", "frame", "h1", "h2", "ruby", "rb", "rt",
     "rtc", "marquee", "object", "xmp", "plaintext", "noscript", "template",
-    "body", "html", "head", "br", "hr", "img", "dd", "dt", "li", "optgroup")
+    "body", "html", "head", "br", "hr", "img", "dd", "dt", "li", "optgroup",
+    "search", "isindex")
   private val refs = Array("&amp;", "&not", "&notin;", "&#x41;", "&#0;",
     "&#xD800;", "&bogus;", "&", "&#", "&#x", "&ltX", "&curren", "&amp")
   private val frags = Array(null, "td", "tr", "tbody", "select", "b", "p",

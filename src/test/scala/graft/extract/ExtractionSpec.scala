@@ -38,6 +38,19 @@ class ExtractionSpec extends AnyFunSuite {
     assert(ex.text.substring(ex.spans(1).start, ex.spans(1).end).startsWith("Second"))
   }
 
+  test("linked words counted on collapsed anchor text, not per text node") {
+    // the <b> splits the anchor text into three HText nodes but the block
+    // text collapses to one word — linkDensity must use the collapsed count
+    val html = "<body><p><a href='/x'>New<b>Yo</b>rk</a> is a big city</p>"
+    val blocks = Extractor.segment(HtmlParser.parseDocument(html).doc)
+    assert(blocks.length == 1)
+    assert(blocks(0).words == 5 && blocks(0).linkedWords == 1)
+    // an anchor spanning a block boundary settles its run per block
+    val html2 = "<body><a href='/y'><div>alpha beta</div><div>gamma</div></a>"
+    val b2 = Extractor.segment(HtmlParser.parseDocument(html2).doc)
+    assert(b2.map(b => (b.words, b.linkedWords)) == Vector((2, 2), (1, 1)))
+  }
+
   test("deterministic: same input, same output") {
     val html = new String(Files.readAllBytes(base.resolve("article-with-nav/input.html")), "UTF-8")
     val a = Extractor.extract(HtmlParser.parseDocument(html).doc)

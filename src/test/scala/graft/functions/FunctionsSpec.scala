@@ -39,6 +39,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(main.startsWith("Tom & Jerry") && !main.contains("home"))
     val all = spark.sql("SELECT strip_html(html) AS t FROM pages_v").head().getString(0)
     assert(all.contains("Tom & Jerry") && all.contains("home"))
+    val title = spark.sql(
+      "SELECT extract_title('<title> A &amp;  B </title>') AS t").head().getString(0)
+    assert(title == "A & B")
+    val links = spark.sql("SELECT extract_links(html) AS l FROM pages_v")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(links.map(r => (r.getString(0), r.getString(1))) == Seq(("/", "home")))
   }
 
   test("expression is null-safe") {
