@@ -634,7 +634,7 @@ object SparkEntry {
         |    len(w) AS words,
         |    CAST(floor(length(regexp_replace(t, '\s', '', 'g')) * 100 /
         |      greatest(len(w), 1)) AS BIGINT) AS mean_word_len_x100,
-        |    CAST(floor((length(t) - length(regexp_replace(t, '[#…]', '', 'g'))) * 1000 /
+        |    CAST(floor(len(regexp_extract_all(t, '#|…|\.\.\.')) * 1000 /
         |      greatest(len(w), 1)) AS BIGINT) AS symbol_ratio_x1000,
         |    CAST(floor(len(list_filter(ln, l -> starts_with(trim(l), '•')
         |      OR starts_with(trim(l), '- '))) * 1000 /
@@ -683,7 +683,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "chunk_plan" ->
       """WITH t AS (SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS tokens FROM documents),
+        |    len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS tokens FROM documents),
         |c AS (SELECT doc_id, tokens,
         |    CAST(ceil(tokens / 64.0) AS BIGINT) AS chunks FROM t)
         |SELECT doc_id, tokens, chunks,
@@ -1020,18 +1020,19 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
         |  length(text) AS chars,
-        |  len(string_split_regex(trim(text), '\s+')) AS tokens,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS tokens,
         |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_chars,
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_chars,
         |  CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100 /
-        |       greatest(len(string_split_regex(trim(text), '\s+')), 1)) AS BIGINT) AS mean_word_len_x100
+        |       greatest(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)), 1)) AS BIGINT) AS mean_word_len_x100
         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS tokens,
-        |  list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-        |    w -> 1 + CAST(greatest(length(w) - 4, 0) / 4 AS BIGINT))) :: BIGINT AS subwords,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS tokens,
+        |  coalesce(list_sum(list_transform(
+        |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0),
+        |    w -> 1 + CAST(greatest(length(w) - 4, 0) / 4 AS BIGINT))), 0) :: BIGINT AS subwords,
         |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this'], w))) AS stopwords
         |FROM documents ORDER BY doc_id""".stripMargin,

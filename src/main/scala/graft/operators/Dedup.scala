@@ -90,6 +90,10 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleSize: Int = 3, maxBucket: Int = 256)
                        (implicit spark: SparkSession): DataFrame = {
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a non-divisible " +
+        "combination silently ignores trailing signature values, and " +
+        "bands > numHashes makes every band slice empty (one global bucket)")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
     val banded = sig.select(col("id"),

@@ -36,10 +36,24 @@ object Packing {
     if (row.isNullAt(0)) return base.withColumn("chunk_start", lit(0L))
       .select(col("id"), col("tokens"), col("chunks"), col("chunk_start"))
     val (lo, hi) = (row.getLong(0), row.getLong(1))
-    val span = math.max(hi - lo + 1, 1L)
-    require(span <= Long.MaxValue / p,
-      s"id span $span x $p buckets overflows — pre-map ids to a dense range")
-    val bucket: Column = ((col("id") - lit(lo)) * p / lit(span)).cast("int")
+    // `hi - lo + 1` overflows Long for hash-derived ids spanning most of
+    // the 64-bit range (the pattern Mixing.sampleBySource recommends) —
+    // and the overflowed negative would slip past a naive max(..., 1)
+    // guard, scrambling bucket order. Detect overflow driver-side and
+    // fall back to bucketing on the top 32 bits: arithmetic shift is
+    // monotone in the signed id, the shifted span is ≤ 2^32 so every
+    // product fits, and buckets stay contiguous id ranges.
+    val spanOpt =
+      try Some(math.max(Math.addExact(Math.subtractExact(hi, lo), 1L), 1L))
+      catch { case _: ArithmeticException => None }
+    val bucket: Column = spanOpt match {
+      case Some(span) if span <= Long.MaxValue / p =>
+        ((col("id") - lit(lo)) * p / lit(span)).cast("int")
+      case _ =>
+        val loS = lo >> 32
+        val spanS = (hi >> 32) - loS + 1
+        ((shiftright(col("id"), 32) - lit(loS)) * p / lit(spanS)).cast("int")
+    }
     val withB = base.withColumn("b", bucket)
     val totals = withB.groupBy("b").agg(sum("chunks").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -125,7 +125,12 @@ object Robots {
             case "disallow" =>
               inRules = true
               current :+= Rule(value, allow = false)
-            case _ => inRules = true // sitemap, crawl-delay, unknown: ignore
+            case _ => () // sitemap, crawl-delay, unknown: non-group records
+              // do NOT terminate a user-agent run (RFC 9309 §2.2.2 /
+              // Google's documented grouping) — setting inRules here would
+              // flush a rule-less group for the first agent and, if it
+              // matched the product token, suppress the '*' groups with an
+              // EMPTY rule set (allow-all on a disallowed site)
           }
         }
       }
@@ -147,26 +152,42 @@ object Robots {
     url.substring(start, end)
   }
 
-  /** Lower-cased host of a URL, "" when there is none (scheme-relative
-    * and path-only inputs match no robots row → allow-all). */
-  /** Host of a URL, lowercased with the SAME rule as Spark's `lower()`
-    * (Locale.ROOT full-Unicode mapping) — the robots map keys are built
-    * with `lower(col("host"))`, so an ASCII-only fold here would miss
-    * hosts containing uppercase non-ASCII letters and silently allow
-    * their disallowed pages. ASCII stays on the allocation-light path. */
+  /** Bare host of a URL — userinfo and port STRIPPED, "" when there is
+    * none (scheme-relative and path-only inputs match no robots row →
+    * allow-all). The robots table is keyed by bare host, so leaving
+    * ':443' or 'user@' in the key would silently bypass the gate for
+    * every such URL variant (the compliance failure mode — a miss means
+    * a disallowed page is KEPT). Lowercased with the SAME rule as
+    * Spark's `lower()` (Locale.ROOT full-Unicode mapping) — the robots
+    * map keys are built with `lower(col("host"))`; ASCII stays on the
+    * allocation-light path. */
   private[operators] def hostOf(url: String): String = {
+    if (url == null) return ""
     val ss = url.indexOf("://")
     if (ss < 0) return ""
-    var i = ss + 3
     val n = url.length
-    val sb = new java.lang.StringBuilder(24)
+    var end = ss + 3
+    while (end < n && { val c = url.charAt(end); c != '/' && c != '?' && c != '#' }) end += 1
+    // strip userinfo: host starts after the last '@' in the authority
+    var start = ss + 3
+    var k = end - 1
+    while (k >= start) {
+      if (url.charAt(k) == '@') { start = k + 1; k = -1 } else k -= 1
+    }
+    // strip port ('[..]' IPv6 literals keep their brackets)
+    var hostEnd = end
+    if (start < end && url.charAt(start) == '[') {
+      val cb = url.indexOf(']', start)
+      if (cb >= 0 && cb < end) hostEnd = cb + 1
+    } else {
+      var j = start
+      while (j < hostEnd) { if (url.charAt(j) == ':') { hostEnd = j }; j += 1 }
+    }
+    val sb = new java.lang.StringBuilder(hostEnd - start)
     var ascii = true
-    while (i < n) {
+    var i = start
+    while (i < hostEnd) {
       val c = url.charAt(i)
-      if (c == '/' || c == '?' || c == '#') {
-        val s = sb.toString
-        return if (ascii) s else s.toLowerCase(java.util.Locale.ROOT)
-      }
       if (c >= 0x80) ascii = false
       sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
       i += 1
@@ -189,21 +210,32 @@ object Robots {
   def filterAllowed(pages: DataFrame, robots: DataFrame, agent: String,
                     urlCol: String = "url"): DataFrame = {
     val spark = pages.sparkSession
-    val compiled: Map[String, Rules] = robots
-      .select(lower(col("host")), col("robots_txt"))
+    // duplicate host rows dedupe DETERMINISTICALLY (greatest robots_txt
+    // wins, nulls lowest) — the same rule as filterAllowedJoin's
+    // max("robots_txt"), so the two documented-equivalent paths agree
+    val texts = scala.collection.mutable.HashMap.empty[String, String]
+    robots.select(lower(col("host")), col("robots_txt"))
       .collect()
-      .iterator
-      .filter(r => !r.isNullAt(0))
-      .map { r =>
-        val txt = if (r.isNullAt(1)) null else r.getString(1)
-        r.getString(0) -> (if (txt == null) allowAll else parse(txt, agent))
+      .foreach { r =>
+        if (!r.isNullAt(0)) {
+          val host = r.getString(0)
+          val txt = if (r.isNullAt(1)) null else r.getString(1)
+          if (txt != null) {
+            val prev = texts.get(host).orNull
+            if (prev == null || txt.compareTo(prev) > 0) texts(host) = txt
+          } else if (!texts.contains(host)) texts(host) = null
+        }
       }
-      .toMap
+    val compiled: Map[String, Rules] = texts.iterator.map { case (h, txt) =>
+      h -> (if (txt == null) allowAll else parse(txt, agent))
+    }.toMap
     val bc = spark.sparkContext.broadcast(compiled)
     val urlIdx = pages.columns.indexOf(urlCol)
     pages.filter { row: org.apache.spark.sql.Row =>
       val url = row.getString(urlIdx)
-      bc.value.getOrElse(hostOf(url), allowAll).allowed(pathOf(url))
+      // a null/hostless url cannot be robots-checked: pass through (there
+      // is nothing to disallow), matching the absent-robots permissiveness
+      url == null || bc.value.getOrElse(hostOf(url), allowAll).allowed(pathOf(url))
     }
   }
 
@@ -219,12 +251,23 @@ object Robots {
                         urlCol: String = "url", saltBuckets: Int = 16): DataFrame = {
     val spark = pages.sparkSession
     val withHost = pages
+      // bare host, same normalization as hostOf: userinfo and port
+      // stripped ('[..]' IPv6 literals keep their brackets)
       .withColumn("__host",
-        lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)))
+        lower(regexp_extract(col(urlCol),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]+)", 1)))
       .withColumn("__salt", pmod(xxhash64(col(urlCol)), lit(saltBuckets)).cast("int"))
     val robotsSalted = robots
       .select(lower(col("host")).as("__host"), col("robots_txt"))
       .withColumn("__salt", explode(typedLit((0 until saltBuckets).toArray)))
+      // one row per (host, salt), deterministically (greatest robots_txt
+      // wins — mirrored by filterAllowed's driver-side fold): duplicate
+      // host rows would otherwise duplicate every page of that host
+      // through the join. Grouping AFTER the salt explode keeps the
+      // PlanSpec invariant — no exchange anywhere partitions on the raw
+      // host — and the join reuses the (host, salt) partitioning.
+      .groupBy(col("__host"), col("__salt"))
+      .agg(max(col("robots_txt")).as("robots_txt"))
     val joined = withHost.join(robotsSalted, Seq("__host", "__salt"), "left")
     val urlIdx = joined.columns.indexOf(urlCol)
     val hostIdx = joined.columns.indexOf("__host")
@@ -234,15 +277,18 @@ object Robots {
     joined.mapPartitions { it =>
       val cache = new java.util.HashMap[String, Rules](256)
       it.filter { row =>
-        val host = row.getString(hostIdx)
-        var rules = cache.get(host)
-        if (rules == null) {
-          val txt = if (row.isNullAt(txtIdx)) null else row.getString(txtIdx)
-          rules = if (txt == null) allowAll else parse(txt, agent)
-          if (cache.size >= cacheCap) cache.clear()
-          cache.put(host, rules)
+        val url = row.getString(urlIdx)
+        url == null || {
+          val host = row.getString(hostIdx)
+          var rules = cache.get(host)
+          if (rules == null) {
+            val txt = if (row.isNullAt(txtIdx)) null else row.getString(txtIdx)
+            rules = if (txt == null) allowAll else parse(txt, agent)
+            if (cache.size >= cacheCap) cache.clear()
+            cache.put(host, rules)
+          }
+          rules.allowed(pathOf(url))
         }
-        rules.allowed(pathOf(row.getString(urlIdx)))
       }
     }(enc).drop("__host", "__salt", "robots_txt")
   }

@@ -10,15 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCount(textCol: Column): Column =
-    size(split(trim(textCol), "\\s+"))
+  /** Non-empty whitespace-separated tokens. `split` emits empty strings
+    * around leading/trailing separators (and a lone [""] for empty text) —
+    * and Spark's `trim` strips only spaces, not tabs/newlines — so the
+    * empties are filtered, not trimmed away. */
+  private def tokensOf(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), w => length(w) > 0)
+
+  /** Whitespace token count; 0 for empty/whitespace-only text. */
+  def tokenCount(textCol: Column): Column = size(tokensOf(textCol))
 
   /** BPE-ish subword estimate: words + extra tokens for long words (every 4
     * chars past the first 4) — a cheap deterministic proxy for tokenizer
-    * budget planning. */
+    * budget planning. 0 for empty/whitespace-only text. */
   def subwordEstimate(textCol: Column): Column =
-    aggregate(split(trim(textCol), "\\s+"), lit(0L),
+    aggregate(tokensOf(textCol), lit(0L),
       (acc, w) => acc + lit(1L) + (greatest(length(w) - 4, lit(0)) / 4).cast("long"))
 
   /** Quality features (integer-valued to keep oracles exact):
@@ -145,18 +151,20 @@ object TextAnalysis {
 
   /** The published Gopher quality-rule battery (Rae et al. 2021 §A.1.1) as
     * one integer-exact composite: word-count bounds, mean word length in
-    * [3, 10] chars, '#'/'…' symbol-to-word ratio ≤ 0.1, bullet-start lines
-    * ≤ 10%, ellipsis-end lines ≤ 30%, ≥ 80% of words containing an
-    * alphabetic character, and ≥ 2 of the paper's eight required stop words
-    * present. Every ratio is reported ×100/×1000 floored so the DuckDB
-    * oracle reproduces the arithmetic exactly; `pass` is the conjunction.
-    * All built-ins, codegen'd, narrow — at 100 TB this is a free rider on
-    * whatever scan already touches the text. */
+    * [3, 10] chars, symbol-to-word ratio ≤ 0.1 (symbols = occurrences of
+    * '#', '…', or ASCII "..." — the paper's hash-or-ellipsis rule),
+    * bullet-start lines ≤ 90%, ellipsis-end lines ≤ 30%, ≥ 80% of words
+    * containing an alphabetic character, and ≥ 2 of the paper's eight
+    * required stop words present. Every ratio is reported ×100/×1000
+    * floored so the DuckDB oracle reproduces the arithmetic exactly;
+    * `pass` is the conjunction. All built-ins, codegen'd, narrow — at
+    * 100 TB this is a free rider on whatever scan already touches the
+    * text. */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Int = 50, maxWords: Int = 100000,
                    minMeanWordLenX100: Int = 300, maxMeanWordLenX100: Int = 1000,
                    maxSymbolRatioX1000: Int = 100,
-                   maxBulletRatioX1000: Int = 100,
+                   maxBulletRatioX1000: Int = 900,
                    maxEllipsisRatioX1000: Int = 300,
                    minAlphaWordRatioX1000: Int = 800,
                    minRequiredStops: Int = 2): DataFrame = {
@@ -166,7 +174,8 @@ object TextAnalysis {
     val lines = split(t, "\n", -1)
     val nLines = greatest(size(lines), lit(1))
     val meanLen = floor(length(regexp_replace(t, "\\s", "")) * 100 / nWords)
-    val symbols = length(t) - length(regexp_replace(t, "[#…]", ""))
+    // occurrences, not chars: ASCII "..." is one ellipsis, not three
+    val symbols = regexp_count(t, lit("#|…|\\.\\.\\."))
     val bullets = size(filter(lines,
       l => trim(l).startsWith("•") || trim(l).startsWith("- ")))
     val ellipses = size(filter(lines,

@@ -33,6 +33,11 @@ object StreamingExtract {
       .select($"url", $"html")
       .filter($"html".isNotNull && length($"url") > 0)
       .withColumn("bucket", ExtractPipeline.bucketCol($"url", buckets, 16, 0))
+      // the salted exchange must actually happen: without this the bucket
+      // column is pruned dead and a heavy-host micro-batch parses in
+      // whatever file-partitions it arrived in (same skew the batch
+      // pipeline's one exchange exists to spread)
+      .repartition(buckets, $"bucket")
     val extracted = ExtractPipeline.parseStage(pages)(spark)
     extracted.writeStream
       .format("parquet")
@@ -72,6 +77,7 @@ object StreamingExtract {
       }
       .toDF("url", "warc_ts", "html")
       .withColumn("bucket", ExtractPipeline.bucketCol($"url", buckets, 16, 0))
+      .repartition(buckets, $"bucket") // see run(): dead without this
     ExtractPipeline.parseStage(pages)(spark).writeStream
       .format("parquet")
       .option("path", outputDir)
@@ -106,7 +112,12 @@ object StreamingExtract {
     * `operators.Dedup.exact` — see the collision math there). */
   final case class ContentKey(h1: Long, h2: Long, len: Int)
   final case class SeenState(count: Long, firstUrl: String)
-  final case class FirstSeen(url: String, h1: Long, h2: Long, copies: Long)
+  /** `firstBatchCopies` counts copies within the FIRST micro-batch a
+    * digest appears in only — append mode cannot re-emit when later
+    * recrawls arrive (the state store keeps the running total, but it is
+    * not observable downstream). Named to not masquerade as
+    * `Dedup.exact`'s whole-corpus `copies`. */
+  final case class FirstSeen(url: String, h1: Long, h2: Long, firstBatchCopies: Long)
 
   /** Streaming exact dedup with CUSTOM STATE (flatMapGroupsWithState):
     * emit a page the first time its content digest is seen across the whole

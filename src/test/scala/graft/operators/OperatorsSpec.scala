@@ -269,7 +269,9 @@ class OperatorsSpec extends AnyFunSuite {
       (0L, good),                                              // passes all
       (1L, "too short to count"),                              // word count
       (2L, good + (" ####" * 20)),                             // symbol ratio
-      (3L, good + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g"),      // bullets
+      // bullets: paper rule is >90% of LINES bulleted (default 900‰) —
+      // 12 bullet lines after the one prose line = 12/13 ≈ 923‰
+      (3L, good + (1 to 12).map(i => s"\n- b$i").mkString),
       (4L, good + "\nends one…\nends two…\nends three…"),      // ellipses
       (5L, ("12345 " * 60) + "the of and"),                    // alpha ratio
       (6L, good.replace("the", "xx").replace("with", "yy")
@@ -280,6 +282,54 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"doc_id", $"pass").as[(Long, Boolean)].collect().toMap
     assert(out(0L), "the good doc must pass")
     (1L to 6L).foreach(i => assert(!out(i), s"doc $i should fail"))
+    // ASCII "..." counts as ONE symbol occurrence (the paper's ellipsis),
+    // not three characters — 60+ occurrences vs ~57 words trips the 10% rule
+    val ell = Seq((0L, good + (" word..." * 60))).toDF("doc_id", "text")
+    val ellRow = TextAnalysis.gopherFilter(ell, "doc_id", "text")
+      .select($"symbol_ratio_x1000", $"pass").head()
+    assert(ellRow.getLong(0) >= 500 && !ellRow.getBoolean(1),
+      s"ASCII ellipses must count: got ${ellRow.getLong(0)}")
+  }
+
+  test("token counts: empty and whitespace-only text is 0 tokens") {
+    import spark.implicits._
+    val rows = Seq((0L, ""), (1L, "   \n\t "), (2L, "two words"))
+      .toDF("doc_id", "text")
+    val out = rows.select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("t"),
+        TextAnalysis.subwordEstimate($"text").as("s"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0, 0L), (1L, 0, 0L), (2L, 2, 2L)))
+  }
+
+  test("minhash LSH rejects non-divisible band configurations") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 64, bands = 12)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 64, bands = 128)
+    }
+  }
+
+  test("chunk plan survives hash-wide id spans (64-bit range, no overflow)") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    // ids spread across the whole signed-Long range: hi - lo + 1 overflows
+    val rows = Seq(Long.MinValue + 7, -3000000000000000000L, -12L, 0L,
+      99L, 4000000000000000000L, Long.MaxValue - 5)
+      .zipWithIndex.map { case (id, i) => (id, 64 * (i + 1)) }
+    val docs = rows.toDF("doc_id", "tokens")
+    val out = Packing.chunkPlan(docs, "doc_id", col("tokens"), tokensPerChunk = 64,
+        buckets = 4)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    val expected = rows.sortBy(_._1).scanLeft((0L, 0L, 0L, 0L)) {
+      case ((_, _, pc, ps), (id, t)) =>
+        (id, t.toLong, (t + 63) / 64, ps + pc)
+    }.drop(1)
+    assert(out.toSeq == expected.toSeq)
   }
 
   test("mixture sampling is deterministic and monotone in the weight") {

@@ -99,12 +99,38 @@ class RobotsSpec extends AnyFunSuite {
     assert(!r.allowed("/blocked/x"))  // the * group still applies
   }
 
-  test("hostOf: lowercased authority, empty when no scheme") {
+  test("hostOf: bare lowercased host — userinfo and port stripped") {
     import Robots.hostOf
     assert(hostOf("https://A.Example/x?y#z") == "a.example")
     assert(hostOf("http://h.example") == "h.example")
-    assert(hostOf("https://h.example:8080/p") == "h.example:8080")
+    // port and userinfo variants must hit the same robots row as the bare
+    // host — leaving them in the key bypasses the gate for those URLs
+    assert(hostOf("https://h.example:8080/p") == "h.example")
+    assert(hostOf("https://h.example:443/p") == "h.example")
+    assert(hostOf("https://user:pw@H.example/p") == "h.example")
+    assert(hostOf("http://u@h.example:80") == "h.example")
+    assert(hostOf("http://[2001:DB8::1]:8080/p") == "[2001:db8::1]")
     assert(hostOf("/relative/path") == "")
+    assert(hostOf(null) == "")
+  }
+
+  test("non-group lines do not split a user-agent run (RFC 9309 grouping)") {
+    // a Sitemap line between two User-agent lines must NOT flush a
+    // rule-less group for the first agent (which would suppress the '*'
+    // groups with an empty rule set → allow-all on a disallowed site)
+    val txt =
+      """User-agent: graftbot
+        |Sitemap: https://x/s.xml
+        |User-agent: other
+        |Disallow: /
+        |""".stripMargin
+    val r = parse(txt, "graftbot")
+    assert(!r.allowed("/anything"), "graftbot shares the group's Disallow: /")
+    // crawl-delay between runs behaves the same way
+    val r2 = parse(
+      "User-agent: a\nCrawl-delay: 5\nUser-agent: graftbot\nDisallow: /x\n",
+      "graftbot")
+    assert(!r2.allowed("/x/y") && r2.allowed("/y"))
   }
 
   private def checkFilter(f: (org.apache.spark.sql.DataFrame,
@@ -116,15 +142,23 @@ class RobotsSpec extends AnyFunSuite {
         ("https://a.example/keep", 1L), ("https://a.example/private/x", 2L),
         ("https://A.EXAMPLE/private/public/y", 3L),
         ("https://b.example/anything", 4L),
-        ("https://c.example/no-robots", 5L)
+        ("https://c.example/no-robots", 5L),
+        // port/userinfo variants must still hit their host's rules
+        ("https://b.example:443/port-variant", 6L),
+        ("https://u:pw@b.example/userinfo-variant", 7L),
+        // a null url cannot be robots-checked: passes through
+        (null: String, 8L)
       ).toDF("url", "id")
       val robots = Seq(
         ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/public\n"),
+        // duplicate host rows: deterministic dedup (greatest text wins),
+        // and the join path must not duplicate a.example's pages
+        ("a.example", "User-agent: *\nDisallow: /\n"),
         ("b.example", "User-agent: *\nDisallow: /\n")
       ).toDF("host", "robots_txt")
       val kept = f(pages, robots)
         .select($"id").as[Long].collect().sorted.toSeq
-      assert(kept == Seq(1L, 3L, 5L))
+      assert(kept == Seq(1L, 3L, 5L, 8L))
       assert(f(pages, robots).columns.toSeq == Seq("url", "id"),
         "helper columns must not leak into the output schema")
     } finally spark.stop()
