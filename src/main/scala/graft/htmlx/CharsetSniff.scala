@@ -40,23 +40,36 @@ object CharsetSniff {
 
   /** Scan the first `limit` bytes for `<meta charset=...>` /
     * `http-equiv` content charset, ASCII-case-insensitively — the same
-    * prescan the tree builder runs post-decode, but over raw bytes. */
+    * prescan the tree builder runs post-decode, but over raw bytes.
+    * Only 'charset' occurrences INSIDE a `<meta ...>` tag count: a URL
+    * query string or comment mentioning charset before the real meta
+    * must not supply the label. Whitespace around '=' follows the HTML
+    * definition (space/tab/LF/FF/CR), not just ' '. */
   def declaredCharset(bytes: Array[Byte], limit: Int = 2048): Option[String] = {
     val n = math.min(bytes.length, limit)
     val hay = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
-    val mIdx = hay.indexOf("charset")
-    if (mIdx < 0) return None
-    var i = mIdx + "charset".length
-    while (i < hay.length && (hay.charAt(i) == ' ' || hay.charAt(i) == '=')) i += 1
-    if (i >= hay.length) return None
-    val quote = hay.charAt(i)
-    val (start, endChars) =
-      if (quote == '"' || quote == '\'') (i + 1, Set(quote))
-      else (i, Set(' ', '"', '\'', ';', '>', '/'))
-    var j = start
-    while (j < hay.length && !endChars.contains(hay.charAt(j))) j += 1
-    val name = hay.substring(start, j).trim
-    if (name.isEmpty) None else Some(name)
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+    var metaIdx = hay.indexOf("<meta")
+    while (metaIdx >= 0) {
+      val tagEnd = { val g = hay.indexOf('>', metaIdx); if (g < 0) hay.length else g }
+      val mIdx = hay.indexOf("charset", metaIdx)
+      if (mIdx >= 0 && mIdx < tagEnd) {
+        var i = mIdx + "charset".length
+        while (i < tagEnd && (isWs(hay.charAt(i)) || hay.charAt(i) == '=')) i += 1
+        if (i < tagEnd) {
+          val quote = hay.charAt(i)
+          val (start, endChars) =
+            if (quote == '"' || quote == '\'') (i + 1, Set(quote))
+            else (i, Set(' ', '\t', '\n', '\f', '\r', '"', '\'', ';', '>', '/'))
+          var j = start
+          while (j < tagEnd && !endChars.contains(hay.charAt(j))) j += 1
+          val name = hay.substring(start, j).trim
+          if (name.nonEmpty) return Some(name)
+        }
+      }
+      metaIdx = hay.indexOf("<meta", metaIdx + 5)
+    }
+    None
   }
 
   def decode(bytes: Array[Byte]): (String, String) = {

@@ -74,7 +74,7 @@ object MiniPdf {
     val xrefAt = out.size
     w("xref\n0 6\n0000000000 65535 f \n")
     (1 to 5).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
-    w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 

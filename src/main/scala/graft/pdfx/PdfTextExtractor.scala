@@ -56,7 +56,13 @@ object PdfTextExtractor {
             // strip one trailing EOL belonging to the keyword
             if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
             if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-            val dictStart = math.max(0, lastIndexOf(bytes, "<<", s))
+            // balance-matched outer dict start: a plain lastIndexOf("<<")
+            // lands on a nested sub-dict (/DecodeParms << ... >> is
+            // standard), hiding /FlateDecode from the filter check
+            val dictStart = {
+              val bal = outerDictStart(bytes, s)
+              if (bal >= 0) bal else math.max(0, lastIndexOf(bytes, "<<", s))
+            }
             val dict = new String(bytes, dictStart, s - dictStart, StandardCharsets.ISO_8859_1)
             val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
             val decoded =
@@ -77,6 +83,28 @@ object PdfTextExtractor {
   }
 
   // ----------------------------------------------------------- inner bits
+
+  /** Backward balance scan from just before the `stream` keyword to the
+    * matching outer `<<` of the stream dict; −1 when no balanced dict is
+    * found (degenerate input — caller falls back). Bounded to 8 KiB back:
+    * stream dicts are tiny, and the bound keeps a pathological file from
+    * rescanning megabytes per stream. */
+  private def outerDictStart(bytes: Array[Byte], before: Int): Int = {
+    var i = before - 2
+    val floor = math.max(0, before - 8192)
+    var depth = 0
+    while (i >= floor) {
+      if (bytes(i) == '<' && bytes(i + 1) == '<') {
+        depth -= 1
+        if (depth <= 0) return i
+        i -= 2
+      } else if (bytes(i) == '>' && bytes(i + 1) == '>') {
+        depth += 1
+        i -= 2
+      } else i -= 1
+    }
+    -1
+  }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     try {
@@ -109,16 +137,25 @@ object PdfTextExtractor {
       if (line.length > 0) { out += line.toString; line.setLength(0) }
     }
 
+    // non-show strings (dict values, pre-BT strings) parse into a sink so
+    // their bytes are consumed correctly but never reach the output
+    val sink = new java.lang.StringBuilder
+
     while (i < n) {
       val c = cs(i).toChar
       if (c == '(') {
-        i = literalString(cs, i, pendingShow)
+        if (inText) i = literalString(cs, i, pendingShow)
+        else { sink.setLength(0); i = literalString(cs, i, sink) }
       } else if (c == '<' && i + 1 < n && cs(i + 1) != '<') {
-        i = hexString(cs, i, pendingShow)
+        if (inText) i = hexString(cs, i, pendingShow)
+        else { sink.setLength(0); i = hexString(cs, i, sink) }
       } else if (c == '<' && i + 1 < n && cs(i + 1) == '<') {
-        i += 2 // dict open inside stream (inline image dicts etc.)
+        // dict inside the stream (BDC property lists, inline image dicts):
+        // skip the WHOLE dict including its strings — '/ActualText (fi)'
+        // must not leak into the next show
+        i = skipDict(cs, i)
       } else if (c == 'B' && i + 1 < n && cs(i + 1) == 'T' && delim(cs, i + 2)) {
-        inText = true; i += 2
+        inText = true; pendingShow.setLength(0); i += 2
       } else if (c == 'E' && i + 1 < n && cs(i + 1) == 'T' && delim(cs, i + 2)) {
         endLine(); inText = false; pendingShow.setLength(0); i += 2
       } else if (inText && c == 'T' && i + 1 < n) {
@@ -138,6 +175,25 @@ object PdfTextExtractor {
       } else i += 1
     }
     endLine()
+  }
+
+  /** Skip a `<< ... >>` dict (nesting + strings); returns index after the
+    * closing `>>`. Strings are parsed so a ')' or '>>' inside them cannot
+    * end the dict early. */
+  private def skipDict(cs: Array[Byte], start: Int): Int = {
+    var i = start + 2
+    var depth = 1
+    val n = cs.length
+    val sink = new java.lang.StringBuilder
+    while (i < n && depth > 0) {
+      val c = cs(i).toChar
+      if (c == '(') { sink.setLength(0); i = literalString(cs, i, sink) }
+      else if (c == '<' && i + 1 < n && cs(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < n && cs(i + 1) == '>') { depth -= 1; i += 2 }
+      else if (c == '<') { sink.setLength(0); i = hexString(cs, i, sink) }
+      else i += 1
+    }
+    i
   }
 
   private def delim(cs: Array[Byte], i: Int): Boolean =

@@ -22,7 +22,7 @@ object Sitemaps {
   final case class Sitemap(isIndex: Boolean, entries: Vector[Entry])
 
   private def ungzip(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B) {
+    if (Warc.isGzip(bytes)) {
       try {
         val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
         val out = new java.io.ByteArrayOutputStream()
@@ -73,10 +73,15 @@ object Sitemaps {
     while (count < MaxEntries) {
       val open = lower.indexOf("<" + entryTag, pos)
       if (open < 0) return Sitemap(isIndex, entries.result())
-      // entry block ends at its close tag (or the next entry/eof if
-      // truncated)
+      // entry block ends at its close tag, bounded by the NEXT entry open:
+      // an unterminated entry must not swallow its neighbor (its close
+      // search would otherwise bind to the neighbor's close tag)
       val close = lower.indexOf("</" + entryTag, open)
-      val blockEnd = if (close >= 0) close + entryTag.length + 3 else lower.length
+      val nextOpen = lower.indexOf("<" + entryTag, open + 1)
+      val blockEnd =
+        if (close >= 0 && (nextOpen < 0 || close < nextOpen)) close + entryTag.length + 3
+        else if (nextOpen >= 0) nextOpen
+        else lower.length
       val (locRaw, _) = tagText(lower, xml, "loc", open, blockEnd)
       if (locRaw != null) {
         val loc = decodeXmlEntities(unwrapCdata(locRaw))

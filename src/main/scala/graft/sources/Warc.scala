@@ -147,7 +147,9 @@ object Warc {
 
   // ------------------------------------------------------------- reading
 
-  private def isGzip(bytes: Array[Byte]): Boolean =
+  /** Gzip magic sniff — the ONE home for the 0x1F 0x8B check (Sitemaps
+    * and WarcSource's stream probe share the constant semantics). */
+  private[sources] def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
 
   /** Stream records out of a WARC file's bytes (plain or gzip). */
@@ -170,6 +172,12 @@ object Warc {
       while (c != -1 && c != '\n' && sb.length < max) {
         if (c != '\r') sb.append(c.toChar)
         c = in.read()
+      }
+      if (sb.length >= max) {
+        // over-long line: drain to EOL so the remainder is not re-parsed
+        // as further (bogus but ':'-bearing) header lines — the value is
+        // truncated, the header stream stays aligned
+        while (c != -1 && c != '\n') c = in.read()
       }
       if (c == -1 && sb.length == 0) throw new EOFException
       sb.toString

@@ -33,7 +33,13 @@ object WarcSource {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    // globStatus returns null for a missing non-glob path and an empty
+    // array for a glob matching nothing — both must FAIL FAST like the
+    // built-in file sources (a typo'd path silently yielding an empty
+    // DataFrame reads as a successful run that wrote empty output)
     val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty)
+      throw new java.io.FileNotFoundException(s"Path does not exist: $path")
     val out = Seq.newBuilder[String]
     def keep(name: String): Boolean = !name.startsWith("_") && !name.startsWith(".")
     // keep() applies to DIRECTORY names too: a dead job's _temporary tree

@@ -35,10 +35,17 @@ object WetSink {
       .selectExpr(urlCol, s"CAST($tsCol AS TIMESTAMP)", textCol)
       .as[(String, java.sql.Timestamp, String)]
     val counts = rows.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new org.apache.hadoop.fs.Path(f"$outDir/part-$pid%05d.warc.wet.gz")
+      // write to an attempt-suffixed temp and rename on success: a direct
+      // create(overwrite) on the final name lets a speculative or zombie
+      // attempt truncate a completed segment mid-read; with the rename,
+      // every observable final file is complete (last completer wins)
+      val tmp = new org.apache.hadoop.fs.Path(
+        f"$outDir/.part-$pid%05d.warc.wet.gz.attempt-${tc.taskAttemptId()}.tmp")
       val fs = path.getFileSystem(conf.value)
-      val out = fs.create(path, true)
+      val out = fs.create(tmp, true)
       // keeps the FS stream open across per-record gzip members while
       // letting each member's close() end its native Deflater
       val shield = new java.io.FilterOutputStream(out) {
@@ -47,6 +54,7 @@ object WetSink {
           this.out.write(b, off, len)
       }
       var n = 0L
+      var ok = false
       try {
         while (it.hasNext) {
           val (url, ts, text) = it.next()
@@ -59,7 +67,12 @@ object WetSink {
           gz.write(rec); gz.close()
           n += 1
         }
-      } finally out.close()
+        ok = true
+      } finally {
+        out.close()
+        if (ok) { fs.delete(path, false); fs.rename(tmp, path) }
+        else fs.delete(tmp, false)
+      }
       Iterator.single(n)
     }
     counts.reduce(_ + _)

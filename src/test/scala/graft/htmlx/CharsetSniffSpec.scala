@@ -44,6 +44,15 @@ class CharsetSniffSpec extends AnyFunSuite {
     assert(d("<meta charset='windows-1252'>") == Some("windows-1252"))
     assert(d("<meta http-equiv=Content-Type content=\"text/html; charset=iso-8859-1\">") == Some("iso-8859-1"))
     assert(d("<p>no declaration</p>") == None)
+    // only 'charset' INSIDE a <meta> tag counts: a URL query string or
+    // comment before the real declaration must not supply the label
+    assert(d("<a href=\"/search?charset=utf-8\">x</a><meta charset=\"iso-8859-1\">")
+      == Some("iso-8859-1"))
+    assert(d("<!-- charset=koi8-r --><meta charset=windows-1252>")
+      == Some("windows-1252"))
+    assert(d("<a href=\"?charset=utf-8\">no meta at all</a>") == None)
+    // HTML whitespace (tabs/newlines) around '=' is accepted
+    assert(d("<meta charset\t=\n'windows-1252'>") == Some("windows-1252"))
   }
 
   test("declared but unsupported charset still falls back safely") {

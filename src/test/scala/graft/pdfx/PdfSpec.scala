@@ -51,6 +51,43 @@ class PdfSpec extends AnyFunSuite {
     doc.spans.foreach(s => assert(doc.text.substring(s.start, s.end) == doc.text.split('\n')(doc.spans.indexOf(s))))
   }
 
+  test("nested /DecodeParms sub-dict does not hide /FlateDecode") {
+    // stream dict with a nested dict AFTER the filter name: the outer
+    // dict must be found by balance-matching, not lastIndexOf("<<")
+    val cs = "BT (nested dict ok) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(cs); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val head = ("%PDF-1.4\n4 0 obj << /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 1 /Columns 5 >> " +
+      s"/Length ${deflated.length} >> stream\n").getBytes(StandardCharsets.ISO_8859_1)
+    val tail = "\nendstream endobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream
+    out.write(head); out.write(deflated); out.write(tail)
+    val ex = PdfTextExtractor.extract(out.toByteArray)
+    assert(ex.lines == Seq("nested dict ok"), ex)
+  }
+
+  test("dict strings and pre-BT strings never leak into shows") {
+    // tagged-PDF shape: /ActualText in a BDC property dict must not ride
+    // into the next Tj; a stray string before BT must not prepend either
+    val cs = ("(stray before text block)\n" +
+      "BT /Span << /ActualText (LEAK) >> BDC (shown) Tj EMC ET")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val ex = PdfTextExtractor.extract(buildWith(cs))
+    assert(ex.lines == Seq("shown"), ex)
+  }
+
+  test("generated PDFs end with the spec EOF marker") {
+    val pdf = MiniPdf.build(MiniPdf.wrap("hello world", 5), compress = false)
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    assert(s.endsWith("%%EOF\n") && !s.contains("%%%%EOF"))
+  }
+
   private def buildWith(content: Array[Byte]): Array[Byte] = {
     val head = s"%PDF-1.4\n4 0 obj << /Length ${content.length} >> stream\n"
     val tail = "\nendstream endobj\n%%EOF\n"

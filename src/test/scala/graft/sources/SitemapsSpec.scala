@@ -58,6 +58,15 @@ class SitemapsSpec extends AnyFunSuite {
       Sitemaps.parse(Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte))
   }
 
+  test("unterminated entry does not swallow its neighbor") {
+    val xml = "<urlset><url><loc>https://a/one</loc>" + // missing </url>
+      "<url><loc>https://a/two</loc></url>" +
+      "<url><loc>https://a/three</loc></url></urlset>"
+    val sm = Sitemaps.parse(xml.getBytes("UTF-8"))
+    assert(sm.entries.map(_.loc) ==
+      Vector("https://a/one", "https://a/two", "https://a/three"))
+  }
+
   test("entry cap honored") {
     val many = (0 until 50010).map(i => (s"https://a.example/$i", ""))
     val s = Sitemaps.parse(Sitemaps.build(many).getBytes("UTF-8"))

@@ -147,6 +147,35 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("over-long header line: value truncated, header stream stays aligned") {
+    // a >64 KiB WARC-Target-URI: the tail of the line must be drained,
+    // not re-parsed as further header lines — and the NEXT record must
+    // still come through intact
+    val longUrl = "https://long.example/" + ("x" * (Warc.MaxHeaderBytes + 500))
+    val file = Warc.buildFile(Seq(
+      (longUrl, "2025-01-01T00:00:00Z", "<p>one".getBytes("UTF-8")),
+      ("https://ok.example/", "2025-01-02T00:00:00Z", "<p>two".getBytes("UTF-8"))))
+    val resp = Warc.records(file).filter(_.warcType == "response").toSeq
+    assert(resp.length == 2)
+    assert(resp(0).targetUri.length <= Warc.MaxHeaderBytes)
+    assert(resp(0).targetUri.startsWith("https://long.example/"))
+    assert(new String(Warc.htmlPayload(resp(0)), "UTF-8") == "<p>one")
+    assert(resp(1).targetUri == "https://ok.example/")
+    assert(new String(Warc.htmlPayload(resp(1)), "UTF-8") == "<p>two")
+  }
+
+  test("missing input path fails fast instead of yielding empty output") {
+    val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-spec-miss", 2)
+    try {
+      intercept[java.io.FileNotFoundException] {
+        WarcSource.read(spark, "/nonexistent-graft-path/segments")
+      }
+      intercept[java.io.FileNotFoundException] {
+        WarcSource.read(spark, "/nonexistent-graft-path/*.warc.gz")
+      }
+    } finally spark.stop()
+  }
+
   test("Spark read: warc.gz file to (url, warc_ts, html) rows") {
     val spark = graft.pipeline.SparkEnv.session("local[2]", "warc-spec", 2)
     try {
