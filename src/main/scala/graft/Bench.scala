@@ -72,17 +72,32 @@ object Bench {
     // ---- calibration probe (before any timed work; see calibSec scaladoc)
     val calibStart = calibSec()
 
-    // ---- warmup: JIT the engine + every query shape at the smallest SF
+    // ---- warmup: JIT the engine + every query shape at the smallest SF.
+    // Falls back to the bench dir itself when the default small-SF layout
+    // is absent (other machines): a silently skipped warmup would time
+    // cold-JVM shapes — the exact 80× distortion it exists to prevent.
     extractionBench(spark, 2000)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    val warmDir = {
+      val d = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+      if (new java.io.File(d).isDirectory) d else sfDir
     }
+    var warmFailed = 0
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailed += 1 }
+    }
+    if (warmFailed > 0)
+      System.err.println(s"[bench] WARNING: $warmFailed warmup queries failed ($warmDir)")
 
-    // ---- timed queries at the requested SF
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // ---- timed queries at the requested SF. A failed query must be
+    // VISIBLE: its time-to-failure is not a timing, so it is excluded from
+    // the queries map and reported in a failed list instead.
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => failed ::= name; None }
     }
 
     // ---- extraction throughput headline (docs/sec at this parallelism)
@@ -96,8 +111,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum + sec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$n,"extract_sec":$sec%.3f,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"calib_sec":$calibStart%.3f,"calib_sec_end":$calibEnd%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract_docs":$n,"extract_sec":$sec%.3f,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"calib_sec":$calibStart%.3f,"calib_sec_end":$calibEnd%.3f}""")
     spark.stop()
   }
 }

@@ -6,22 +6,32 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // the SAME engine config (AQE, UTC, shuffle partitions) as Bench and
+    // the pipeline — the correctness harness must certify the plans the
+    // production config actually runs
+    val spark = graft.pipeline.SparkEnv.session(s"local[$cpus]", "graft-verify", cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(rmr) }
+      f.delete()
+    }
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      // stale results from a previous run must NOT survive a failure —
+      // the driver's compare would read them and report a false pass
+      rmr(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
+        rmr(new java.io.File(s"$outDir/$name"))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] FAILED queries: ${failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -126,16 +126,10 @@ object Sketch {
     while (i < words.length) {
       val w = words(i)
       if (seen.add(w)) {
-        var h1 = 0L
-        var h2 = 0L
-        var ci = 0
-        while (ci < w.length) {
-          val c = w.charAt(ci).toLong
-          h1 = (h1 * 31 + c) % Mersenne31
-          h2 = (h2 * 37 + c) % Mersenne31
-          ci += 1
-        }
-        val h = (h2 << 31) | h1
+        // single home for the 31/37 Mersenne-31 62-bit dialect: a 1-word
+        // shingle hash IS the word hash (DuckDB oracle parity depends on
+        // the two staying byte-identical)
+        val h = shingleHash(words, i, 1)
         var j = 0
         while (j < 62) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -132,11 +132,12 @@ object VectorFunctions {
         val j = ctx.freshName("j")
         val cj = ctx.freshName("cj")
         val d = ctx.freshName("d")
+        val x = ctx.freshName("x")
         s"""
            |int $nv = $v.numElements();
            |double $vv = 0.0;
            |for (int $i = 0; $i < $nv; $i++) {
-           |  double x = $v.getDouble($i); $vv += x * x;
+           |  double $x = $v.getDouble($i); $vv += $x * $x;
            |}
            |double $vn = java.lang.Math.sqrt($vv);
            |double $best = java.lang.Double.NEGATIVE_INFINITY;

@@ -72,7 +72,8 @@ object Multimodal {
   def features(df: DataFrame, idCol: String, mediaCol: String, kind: String)
               (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val ds = df.selectExpr(s"$idCol as id", s"$mediaCol as media")
+    import org.apache.spark.sql.functions.col
+    val ds = df.select(col(idCol).as("id"), col(mediaCol).as("media"))
       .as[(Long, Array[Byte])]
       .map { case (id, m) => MediaRow(id, m, kind) }
     decodeStage(ds, new StubDecoder)

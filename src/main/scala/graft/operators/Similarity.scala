@@ -22,7 +22,7 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -129,6 +129,14 @@ object Similarity {
           x => x.getField("v")).as("cvec"))
       it += 1
     }
+    // ONE evaluation of the centroid lineage: cells and probes both read
+    // `centroids`, and without a cache each branch would recompute it —
+    // monotonically_increasing_id seeding and Lloyd's float-order avg()
+    // are nondeterministic across evaluations, so the two branches could
+    // disagree on cell boundaries (missed neighbors); the cache also
+    // saves re-running the full-corpus Lloyd lineage twice. nCentroids
+    // rows — negligible memory.
+    centroids = centroids.cache()
     // norms precomputed once per row (narrow pass), not per candidate pair
     // (VERDICT r02 "What's wrong" #3); bit-identical: same expression on the
     // same input, same (qnorm * nnorm) multiplication order as cosine()
