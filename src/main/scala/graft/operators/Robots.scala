@@ -97,9 +97,14 @@ object Robots {
       if (groupAgents.nonEmpty) {
         // a.nonEmpty: an empty `User-agent:` value must not match every
         // agent (startsWith("") is always true) — a stray empty directive
-        // would otherwise suppress the legitimate `*` groups entirely
+        // would otherwise suppress the legitimate `*` groups entirely.
+        // Prefix matches respect product-token boundaries (RFC 9309
+        // product tokens; the Googlebot-News → Googlebot fallback shape):
+        // group "graftbot" matches agent "graftbot-news", but group
+        // "graft" must NOT match agent "graftbot".
         val matchesSpecific =
-          groupAgents.exists(a => a.nonEmpty && (a == agentLc || agentLc.startsWith(a)))
+          groupAgents.exists(a => a.nonEmpty && (a == agentLc ||
+            (agentLc.startsWith(a) && agentLc.charAt(a.length) == '-')))
         val matchesAll = groupAgents.contains("*")
         if (matchesSpecific) { specific ++= current; sawSpecific = true }
         else if (matchesAll) wildcard ++= current

@@ -54,6 +54,24 @@ class RobotsSpec extends AnyFunSuite {
     assert(!other.allowed("/ok"))  // falls to the * group: all disallowed
   }
 
+  test("prefix matches respect product-token boundaries") {
+    val txt =
+      """User-agent: *
+        |Allow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /x
+        |""".stripMargin
+    // sub-product fallback: graftbot-news matches the graftbot group
+    assert(!parse(txt, "graftbot-news").allowed("/x/y"))
+    // but a LONGER agent without the '-' boundary is a different token
+    val partial = "User-agent: graft\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    assert(parse(partial, "graftbot").allowed("/anything"),
+      "group 'graft' must not capture agent 'graftbot'")
+    assert(!parse(partial, "graft").allowed("/anything"))
+    assert(!parse(partial, "graft-mobile").allowed("/anything"))
+  }
+
   test("multiple user-agent lines share a group; same-agent groups merge") {
     val txt =
       """User-agent: a
