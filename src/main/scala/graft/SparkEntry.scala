@@ -94,7 +94,7 @@ object SparkEntry {
             if (id % 2 == 1) {
               val bos = new java.io.ByteArrayOutputStream()
               val gz = new java.util.zip.GZIPOutputStream(bos)
-              gz.write(xml.getBytes("UTF-8")); gz.finish()
+              gz.write(xml.getBytes("UTF-8")); gz.close()
               bos.toByteArray
             } else xml.getBytes("UTF-8")
           val sm = graft.sources.Sitemaps.parse(bytes)
@@ -122,7 +122,7 @@ object SparkEntry {
           case 2 => Some((host, "User-agent: *\nDisallow: /doc\nAllow: /doc/1\n"))
           case _ => None // no robots.txt fetched: allowed
         }
-      } :+ (("heavy.example", "User-agent: *\nDisallow: /*7$\n"))
+      } :+ (("heavy.example", "User-agent: *\nDisallow: /*2$\n"))
       val robots = hostRobots.toDF("host", "robots_txt")
       graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
         .select(col("doc_id")).orderBy("doc_id")
@@ -371,8 +371,11 @@ object SparkEntry {
         .select("doc_id", "copies").orderBy("doc_id")
     }),
     "dedup_jaccard_adjacent" -> ((s, dir) => {
+      // docs with <3 words have an EMPTY shingle array: drop them so the
+      // row set matches the oracle's `WHERE len(w) >= 3` exactly
       val sh = docs(s, dir).select(col("doc_id"),
         Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_id"),
           size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
@@ -382,7 +385,11 @@ object SparkEntry {
     }),
     "dedup_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Dedup.minhashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      // maxBucket raised past any plausible cluster: the oracle computes the
+      // COMPLETE exact-Jaccard pair set, so the production bucket cap (256)
+      // must not bind in the equivalence query
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text", threshold = 0.5,
+          maxBucket = 1000000)
         .orderBy("id1", "id2")
     }),
     "dup_ngram_stats" -> ((s, dir) => {
@@ -616,7 +623,7 @@ object SparkEntry {
     "robots_filter" ->
       """SELECT doc_id FROM documents
         |WHERE CASE
-        |  WHEN doc_id % 10 < 3 THEN CAST(doc_id AS VARCHAR) NOT LIKE '%7'
+        |  WHEN doc_id % 10 < 3 THEN CAST(doc_id AS VARCHAR) NOT LIKE '%2'
         |  WHEN (doc_id % 97) % 4 = 0 THEN false
         |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
         |  ELSE true END
@@ -838,8 +845,9 @@ object SparkEntry {
         |FROM e JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // SimHash near-dup: the 62-bit portable signature (two Karp–Rabin hashes
     // packed — see functions.Sketch) is recomputed verbatim in SQL, then the
-    // exact candidate rule is replicated: 4×16-bit pigeonhole keys, per-key
-    // bucket cap 256 ordered by id, hamming ≤ 8 on survivors.
+    // exact candidate rule is replicated: NINE balanced 7/6-bit pigeonhole
+    // segments (maxHamming+1 — the r2 4×16 scheme only guaranteed hamming≤3),
+    // per-key bucket cap 256 ordered by id, hamming ≤ 8 on survivors.
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
         |h AS (SELECT doc_id, list_transform(ws, wd ->
@@ -1032,7 +1040,7 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS tokens,
         |  coalesce(list_sum(list_transform(
         |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0),
-        |    w -> 1 + CAST(greatest(length(w) - 4, 0) / 4 AS BIGINT))), 0) :: BIGINT AS subwords,
+        |    w -> 1 + CAST(floor(greatest(length(w) - 4, 0) / 4) AS BIGINT))), 0) :: BIGINT AS subwords,
         |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this'], w))) AS stopwords
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -132,9 +132,11 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: candidates → verify. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-                   threshold: Double = 0.8)(implicit spark: SparkSession): DataFrame =
+                   threshold: Double = 0.8, maxBucket: Int = 256)
+                  (implicit spark: SparkSession): DataFrame =
     jaccardVerify(docs,
-      minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize),
+      minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize,
+        maxBucket),
       idCol, textCol, shingleSize, threshold)
 
   /** Per-document cross-corpus repetition statistics (the MassiveText/
