@@ -53,6 +53,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhash bucket cap binds deterministically on oversize clusters") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    // six identical docs share every band bucket; maxBucket=3 keeps the
+    // three LOWEST ids per bucket (row_number over id), so candidate
+    // pairs are exactly the within-cap pairs — higher ids drop out
+    // deterministically rather than arbitrarily
+    val docs = (0L until 6L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val uncapped = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15) // all C(6,2) pairs
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     import spark.implicits._
     val sims = docsWithPlantedDups
