@@ -88,6 +88,32 @@ class PdfSpec extends AnyFunSuite {
     assert(s.endsWith("%%EOF\n") && !s.contains("%%%%EOF"))
   }
 
+  test("never throws and is deterministic on arbitrary and mutated bytes") {
+    val rnd = new java.util.Random(0xBADF00D)
+    // pure random bytes
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(b)
+      val e1 = PdfTextExtractor.extract(b)
+      val e2 = PdfTextExtractor.extract(b)
+      assert(e1.text == e2.text)
+    }
+    // structured-ish: a valid PDF with random byte flips (the crawl shape —
+    // truncated/corrupted real documents)
+    val base = MiniPdf.build(MiniPdf.wrap("the quick brown fox " * 20, 9),
+      compress = true)
+    for (_ <- 0 until 300) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(20))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val cut = if (rnd.nextBoolean()) rnd.nextInt(b.length) else b.length
+      val mutated = java.util.Arrays.copyOf(b, cut)
+      val e1 = PdfTextExtractor.extract(mutated)
+      val e2 = PdfTextExtractor.extract(mutated)
+      assert(e1.text == e2.text)
+    }
+  }
+
   private def buildWith(content: Array[Byte]): Array[Byte] = {
     val head = s"%PDF-1.4\n4 0 obj << /Length ${content.length} >> stream\n"
     val tail = "\nendstream endobj\n%%EOF\n"
