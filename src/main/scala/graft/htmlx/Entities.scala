@@ -82,7 +82,9 @@ object Entities {
     * (0, null, false) when no digits follow. Single home for the digit
     * fold with its < 0x110000 clamp and the overflow → U+FFFD mapping —
     * shared by the tokenizer and the decode_entities scalar function so
-    * the two cannot drift. */
+    * the two cannot drift. (The tuple costs one short-lived allocation
+    * per numeric reference, next to the replacement String that was
+    * always allocated — measured neutral on the entities_decode bench.) */
   def parseNumeric(s: CharSequence, from: Int): (Int, String, Boolean) = {
     val n = s.length
     var q = from + 1

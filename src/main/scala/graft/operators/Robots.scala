@@ -217,7 +217,22 @@ object Robots {
     val spark = pages.sparkSession
     // duplicate host rows dedupe DETERMINISTICALLY (greatest robots_txt
     // wins, nulls lowest) — the same rule as filterAllowedJoin's
-    // max("robots_txt"), so the two documented-equivalent paths agree
+    // max("robots_txt"). Comparison is UTF-8 BYTE order (what Spark's
+    // max() on a string column uses), not String.compareTo's UTF-16
+    // code-unit order — the two differ for supplementary vs U+E000+
+    // characters, and the paths must pick the same winner.
+    def utf8Gt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d > 0
+        i += 1
+      }
+      x.length > y.length
+    }
     val texts = scala.collection.mutable.HashMap.empty[String, String]
     robots.select(lower(col("host")), col("robots_txt"))
       .collect()
@@ -227,7 +242,7 @@ object Robots {
           val txt = if (r.isNullAt(1)) null else r.getString(1)
           if (txt != null) {
             val prev = texts.get(host).orNull
-            if (prev == null || txt.compareTo(prev) > 0) texts(host) = txt
+            if (prev == null || utf8Gt(txt, prev)) texts(host) = txt
           } else if (!texts.contains(host)) texts(host) = null
         }
       }
@@ -257,10 +272,13 @@ object Robots {
     val spark = pages.sparkSession
     val withHost = pages
       // bare host, same normalization as hostOf: userinfo and port
-      // stripped ('[..]' IPv6 literals keep their brackets)
+      // stripped ('[..]' IPv6 literals keep their brackets). The scheme
+      // part and the bracket close are as PERMISSIVE as hostOf's scanner
+      // ('1http://h/x', 'http://[::1/x') so the two paths gate the same
+      // pages even on malformed URLs.
       .withColumn("__host",
         lower(regexp_extract(col(urlCol),
-          "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]+)", 1)))
+          "^[^:/?#]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]?|[^/?#:]+)", 1)))
       .withColumn("__salt", pmod(xxhash64(col(urlCol)), lit(saltBuckets)).cast("int"))
     val robotsSalted = robots
       .select(lower(col("host")).as("__host"), col("robots_txt"))

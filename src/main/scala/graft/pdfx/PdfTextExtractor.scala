@@ -179,7 +179,9 @@ object PdfTextExtractor {
 
   /** Skip a `<< ... >>` dict (nesting + strings); returns index after the
     * closing `>>`. Strings are parsed so a ')' or '>>' inside them cannot
-    * end the dict early. */
+    * end the dict early. An UNBALANCED `<<` (corrupt/truncated stream)
+    * falls back to skipping just the two bytes — consuming to
+    * end-of-stream would silently drop every text block after the glitch. */
   private def skipDict(cs: Array[Byte], start: Int): Int = {
     var i = start + 2
     var depth = 1
@@ -193,7 +195,7 @@ object PdfTextExtractor {
       else if (c == '<') { sink.setLength(0); i = hexString(cs, i, sink) }
       else i += 1
     }
-    i
+    if (depth > 0) start + 2 else i
   }
 
   private def delim(cs: Array[Byte], i: Int): Boolean =

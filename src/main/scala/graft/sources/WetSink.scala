@@ -70,8 +70,16 @@ object WetSink {
         ok = true
       } finally {
         out.close()
-        if (ok) { fs.delete(path, false); fs.rename(tmp, path) }
-        else fs.delete(tmp, false)
+        if (ok) {
+          fs.delete(path, false)
+          // a false rename (racing attempt won, quota, lease) must FAIL
+          // the task — reporting n records while no final file exists
+          // would be a silent data hole; the orphan tmp is removed first
+          if (!fs.rename(tmp, path)) {
+            fs.delete(tmp, false)
+            throw new java.io.IOException(s"rename $tmp -> $path failed")
+          }
+        } else fs.delete(tmp, false)
       }
       Iterator.single(n)
     }

@@ -53,6 +53,15 @@ class CharsetSniffSpec extends AnyFunSuite {
     assert(d("<a href=\"?charset=utf-8\">no meta at all</a>") == None)
     // HTML whitespace (tabs/newlines) around '=' is accepted
     assert(d("<meta charset\t=\n'windows-1252'>") == Some("windows-1252"))
+    // a '>' inside a quoted attribute value must not truncate the tag scan
+    assert(d("<meta content=\"a > b\" charset=windows-1252>")
+      == Some("windows-1252"))
+    // 'charset' inside an unrelated attribute VALUE (refresh URL) is not a
+    // declaration — the real one later in the tag (or a later meta) wins
+    assert(d("<meta http-equiv=\"refresh\" content=\"0;url=/x?charset=utf-8\">" +
+      "<meta charset=\"windows-1252\">") == Some("windows-1252"))
+    assert(d("<meta http-equiv=\"refresh\" content=\"0;url=/x?charset=utf-8\">")
+      == None)
   }
 
   test("declared but unsupported charset still falls back safely") {

@@ -165,7 +165,10 @@ class RobotsSpec extends AnyFunSuite {
         ("https://b.example:443/port-variant", 6L),
         ("https://u:pw@b.example/userinfo-variant", 7L),
         // a null url cannot be robots-checked: passes through
-        (null: String, 8L)
+        (null: String, 8L),
+        // malformed scheme: hostOf and the join regex must agree (both
+        // extract b.example and apply its disallow-all)
+        ("1http://b.example/malformed-scheme", 9L)
       ).toDF("url", "id")
       val robots = Seq(
         ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/public\n"),

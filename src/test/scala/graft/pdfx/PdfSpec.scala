@@ -88,6 +88,13 @@ class PdfSpec extends AnyFunSuite {
     assert(s.endsWith("%%EOF\n") && !s.contains("%%%%EOF"))
   }
 
+  test("stray unbalanced '<<' does not swallow the rest of the stream") {
+    val cs = "q << /Corrupt BT (after glitch) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val ex = PdfTextExtractor.extract(buildWith(cs))
+    assert(ex.lines == Seq("after glitch"), ex)
+  }
+
   test("never throws and is deterministic on arbitrary and mutated bytes") {
     val rnd = new java.util.Random(0xBADF00D)
     // pure random bytes
