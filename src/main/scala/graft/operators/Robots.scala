@@ -185,8 +185,8 @@ object Robots {
       val cb = url.indexOf(']', start)
       if (cb >= 0 && cb < end) hostEnd = cb + 1
     } else {
-      var j = start
-      while (j < hostEnd) { if (url.charAt(j) == ':') { hostEnd = j }; j += 1 }
+      val colon = url.indexOf(':', start)
+      if (colon >= 0 && colon < end) hostEnd = colon
     }
     val sb = new java.lang.StringBuilder(hostEnd - start)
     var ascii = true
@@ -221,18 +221,10 @@ object Robots {
     // max() on a string column uses), not String.compareTo's UTF-16
     // code-unit order — the two differ for supplementary vs U+E000+
     // characters, and the paths must pick the same winner.
-    def utf8Gt(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
-        if (d != 0) return d > 0
-        i += 1
-      }
-      x.length > y.length
-    }
+    def utf8Gt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) > 0
     val texts = scala.collection.mutable.HashMap.empty[String, String]
     robots.select(lower(col("host")), col("robots_txt"))
       .collect()
