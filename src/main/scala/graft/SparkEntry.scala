@@ -208,6 +208,21 @@ object SparkEntry {
           col("lines_dropped").cast("long").as("lines_dropped"))
         .orderBy("doc_id")
     }),
+    "dedup_components" -> ((s, dir) => {
+      // connected components over a deterministic near-dup pair graph:
+      // each group of ten ids contributes a 5-node CHAIN 10k..10k+4
+      // (edges id→id+1 for id%10<4; diameter 4 forces several label
+      // propagation rounds) plus a shortcut edge (10k, 10k+3). Cluster =
+      // min id in the component; the oracle computes the same closure
+      // with a recursive CTE.
+      val d = docs(s, dir).select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 10 < 4)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      val shortcut = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 3).as("id2"))
+      graft.operators.Dedup.connectedComponents(chain.union(shortcut))
+        .orderBy("id")
+    }),
     "dedup_url" -> ((s, dir) => {
       // URL-level dedup: ids 4k..4k+3 are recrawls of one page under four
       // trivially-different URLs (host case, explicit default port, dot
@@ -710,6 +725,17 @@ object SparkEntry {
         |SELECT s.doc_id, len(s.sh) AS ngrams, coalesce(h.hits, 0) AS hits,
         |       coalesce(h.hits, 0) > 0 AS contaminated
         |FROM s LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents WHERE doc_id % 10 < 4
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 3 FROM documents WHERE doc_id % 10 = 0),
+        |e AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e2.dst, reach.r FROM reach JOIN e e2 ON e2.src = reach.id)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "dedup_lines" ->
       """WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
         |arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM d),

@@ -268,4 +268,50 @@ object Dedup {
           coalesce(size(col("drop_idx")), lit(0))).as("lines_kept"),
         coalesce(size(col("drop_idx")), lit(0)).as("lines_dropped"))
   }
+
+  /** Connected components over a near-duplicate pair list — the step after
+    * [[minhashDedup]]/[[simhashDedup]] that every dedup pipeline needs:
+    * pairs say "these two match", components say "keep ONE representative
+    * per duplicate cluster" (transitively: A~B and B~C dedupe A,B,C
+    * together even though A~C was never emitted). Returns (id, cluster)
+    * for every node in `pairs`, cluster = the MINIMUM id in the component
+    * (the canonical survivor under keep-lowest-id).
+    *
+    * Algorithm: minimum-label propagation to convergence. Each round is
+    * two equi-joins on 8-byte ids (labels flow across edges both ways,
+    * min-aggregated per node) — never text, never wide rows. Rounds =
+    * component diameter; near-dup graphs are dense clusters with tiny
+    * diameters (an LSH bucket emits all-pairs within a bucket, so most
+    * components converge in 1-2 rounds; the alternating star-contraction
+    * of Kiveris et al. halves rounds on adversarial long chains but its
+    * constant factor loses on the dense-cluster common case). Labels are
+    * checkpointed (localCheckpoint) each round so the plan does not grow
+    * exponentially with iterations. Convergence is detected by a count of
+    * changed labels per round — one action over (id,label) pairs. */
+  def connectedComponents(pairs: DataFrame, id1Col: String = "id1",
+                          id2Col: String = "id2", maxRounds: Int = 50): DataFrame = {
+    // symmetric edge list: labels must flow both directions
+    val fwd = pairs.select(col(id1Col).cast("long").as("src"),
+      col(id2Col).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
 }

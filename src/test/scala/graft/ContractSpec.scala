@@ -28,9 +28,10 @@ class ContractSpec extends AnyFunSuite {
       "orders", "lineitem", "events", "documents", "embeddings")
     val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      // strip CTE names: they are declared as "x AS (" at clause starts
-      val cteRe = """(?im)^\s*,?\s*([a-z0-9_]+)\s+AS\s+\(""".r
-      val withRe = """(?i)WITH\s+([a-z0-9_]+)\s+AS\s+\(""".r
+      // strip CTE names: "x AS (" or "x(cols) AS (" at clause starts,
+      // with or without a leading WITH [RECURSIVE]
+      val cteRe = """(?im)^\s*,?\s*([a-z0-9_]+)\s*(?:\([^)]*\))?\s+AS\s+\(""".r
+      val withRe = """(?i)WITH\s+(?:RECURSIVE\s+)?([a-z0-9_]+)\s*(?:\([^)]*\))?\s+AS\s+\(""".r
       val ctes = (cteRe.findAllMatchIn(sql).map(_.group(1)) ++
         withRe.findAllMatchIn(sql).map(_.group(1))).toSet
       fromRe.findAllMatchIn(sql).map(_.group(1)).foreach { t =>

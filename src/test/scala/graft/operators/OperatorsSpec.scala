@@ -53,6 +53,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("connected components: transitive clusters, min-id canonical label") {
+    import spark.implicits._
+    // two components: a diameter-4 chain 1-2-3-4-5 (forces several
+    // propagation rounds) and a triangle 10-11-12 given with redundant
+    // and reversed edges; plus an isolated pair (20, 21)
+    val pairs = Seq((1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (12L, 11L), (12L, 10L), (21L, 20L)).toDF("id1", "id2")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert((10L to 12L).forall(out(_) == 10L))
+    assert(out(20L) == 20L && out(21L) == 20L)
+    assert(out.size == 10)
+  }
+
   test("minhash bucket cap binds deterministically on oversize clusters") {
     import spark.implicits._
     implicit val s: SparkSession = spark
