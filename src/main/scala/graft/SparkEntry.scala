@@ -460,6 +460,14 @@ object SparkEntry {
         TextAnalysis.stopwordCount(col("text")).as("stopwords"))
         .orderBy("doc_id")
     }),
+    "lm_likelihood" -> ((s, dir) => {
+      // CCNet-style corpus-likelihood score (integer-exact stand-in for
+      // the LM-perplexity filter): mean token corpus-frequency ×1e6,
+      // all integer division; the frequency-split join keeps the heavy
+      // stopword keys on the broadcast side.
+      TextAnalysis.unigramLikelihood(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
     "lang_distribution" -> ((s, dir) => {
       docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n"),
         sum(col("n_chars")).as("chars")).orderBy("lang")
@@ -1070,6 +1078,16 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this'], w))) AS stopwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lm_likelihood" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), w -> length(w) > 0)) AS w
+        |  FROM documents),
+        |cnts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT doc_id, count(*) AS tokens,
+        |  CAST(sum(c * 1000000 // n) // count(*) AS BIGINT) AS lm_score_x1e6
+        |FROM tok JOIN cnts USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lang_distribution" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -149,6 +149,42 @@ object TextAnalysis {
         c => c.isNotNull))
   }
 
+  /** Corpus-likelihood quality score — the cheap integer-exact cousin of
+    * CCNet's LM-perplexity filter (Wenzek et al. 2020): score each doc by
+    * the mean corpus frequency of its tokens (×10⁶, floored; all integer
+    * division, so the DuckDB oracle reproduces it bit-exactly).
+    * Low-likelihood docs are gibberish/rare-vocab outliers; high scores are
+    * stopword soup — CCNet keeps the middle of the distribution.
+    *
+    * 100 TB shape: tokens shuffle as (id, 8-byte word hash) pairs, counts
+    * aggregate with map-side combine, and the count join is FREQUENCY
+    * SPLIT: the `hotWords` most frequent words (≈ all the mass — Zipf)
+    * ride a broadcast join, the long tail takes the shuffle join — a plain
+    * equi-join on the word hash would hand the "the" partition ~1% of the
+    * corpus in one task. Docs with zero tokens emit no row (nothing to
+    * score), on both engines. */
+  def unigramLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                        hotWords: Int = 65536): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(tokensOf(col(textCol))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val counts = tok.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val trow = counts.agg(sum(col("cnt"))).collect()(0)
+    if (trow.isNullAt(0))
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("tokens"), lit(0L).as("lm_score_x1e6"))
+        .limit(0)
+    val total = trow.getLong(0)
+    val hot = counts.orderBy(col("cnt").desc, col("h")).limit(hotWords)
+    val cold = counts.join(broadcast(hot.select(col("h"))), Seq("h"), "left_anti")
+    val scoredTok = tok.join(broadcast(hot), Seq("h"))
+      .union(tok.join(cold, Seq("h")))
+      .withColumn("tok_score", expr(s"cnt * 1000000L div ${total}L"))
+    scoredTok.groupBy("id").agg(
+        count(lit(1)).as("tokens"),
+        expr("sum(tok_score) div count(1)").as("lm_score_x1e6"))
+  }
+
   /** The published Gopher quality-rule battery (Rae et al. 2021 §A.1.1) as
     * one integer-exact composite: word-count bounds, mean word length in
     * [3, 10] chars, symbol-to-word ratio ≤ 0.1 (symbols = occurrences of

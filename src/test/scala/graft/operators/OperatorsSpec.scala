@@ -323,6 +323,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"ASCII ellipses must count: got ${ellRow.getLong(0)}")
   }
 
+  test("unigram likelihood: exact integer scores, hot/cold split invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    // total 5 tokens; freq a=2,b=2,c=1 → per-token 400000/400000/200000
+    def run(hot: Int) = TextAnalysis.unigramLikelihood(docs, "doc_id", "text", hot)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = Seq((1L, 3L, 400000L), (2L, 2L, 300000L)) // doc 3: no tokens, no row
+    assert(run(65536) == expected)
+    // the frequency split is an execution detail: hotWords=1 must not
+    // change a single value (cold path exercised for b and c)
+    assert(run(1) == expected)
+  }
+
   test("token counts: empty and whitespace-only text is 0 tokens") {
     import spark.implicits._
     val rows = Seq((0L, ""), (1L, "   \n\t "), (2L, "two words"))

@@ -136,6 +136,21 @@ class PlanSpec extends AnyFunSuite {
     df.count() // and it still computes
   }
 
+  test("lm likelihood: hot vocabulary broadcasts, cold tail shuffles") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"the of and w$i common words here"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.TextAnalysis.unigramLikelihood(docs, "doc_id", "text",
+      hotWords = 4)
+    val plan = planOf(df)
+    // the frequency-split join: heavy (stopword) keys must ride a
+    // broadcast join — a plain equi-join on the word hash would hand the
+    // heaviest word's partition a corpus-scale task
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-vocabulary side must broadcast:\n$plan")
+    df.count() // and it computes
+  }
+
   test("q3 join broadcasts the filtered customer dimension") {
     val df = graft.SparkEntry.queriesForPlanCheck("q3_top10")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)
