@@ -156,30 +156,32 @@ object TextAnalysis {
     * Low-likelihood docs are gibberish/rare-vocab outliers; high scores are
     * stopword soup — CCNet keeps the middle of the distribution.
     *
-    * 100 TB shape: tokens shuffle as (id, 8-byte word hash) pairs, counts
-    * aggregate with map-side combine, and the count join is FREQUENCY
-    * SPLIT: the `hotWords` most frequent words (≈ all the mass — Zipf)
-    * ride a broadcast join, the long tail takes the shuffle join — a plain
-    * equi-join on the word hash would hand the "the" partition ~1% of the
-    * corpus in one task. Docs with zero tokens emit no row (nothing to
-    * score), on both engines. */
+    * 100 TB shape: counts aggregate by the word itself with map-side
+    * combine (raw tokens average a few bytes — hashing them first would
+    * only trade exactness for nothing: a 64-bit hash space EXPECTS
+    * colliding words at ~5×10⁹ distinct tokens, silently merging their
+    * counts), and the count join is FREQUENCY SPLIT: rows carrying the
+    * `hotWords` most frequent words (≈ all the mass — Zipf) are
+    * anti-filtered out through a broadcast key set and scored via a
+    * broadcast join, so they NEVER enter a shuffle; the remaining tail
+    * shuffle-joins with no heavy keys by construction. The token total
+    * rides the plan as a broadcast scalar (no driver-side action at
+    * construction time) and the vocab-sized counts are cached across
+    * their three uses. Exact while cnt×10⁶ fits a Long, i.e. corpora to
+    * ~9×10¹² occurrences of one word. Docs with zero tokens emit no row
+    * (nothing to score), on both engines. */
   def unigramLikelihood(docs: DataFrame, idCol: String, textCol: String,
                         hotWords: Int = 65536): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
-        explode(tokensOf(col(textCol))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val counts = tok.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val trow = counts.agg(sum(col("cnt"))).collect()(0)
-    if (trow.isNullAt(0))
-      return docs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id"), lit(0L).as("tokens"), lit(0L).as("lm_score_x1e6"))
-        .limit(0)
-    val total = trow.getLong(0)
-    val hot = counts.orderBy(col("cnt").desc, col("h")).limit(hotWords)
-    val cold = counts.join(broadcast(hot.select(col("h"))), Seq("h"), "left_anti")
-    val scoredTok = tok.join(broadcast(hot), Seq("h"))
-      .union(tok.join(cold, Seq("h")))
-      .withColumn("tok_score", expr(s"cnt * 1000000L div ${total}L"))
+      explode(tokensOf(col(textCol))).as("w"))
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("cnt")).cache()
+    val tot = counts.agg(sum(col("cnt")).as("n"))
+    val hot = counts.orderBy(col("cnt").desc, col("w")).limit(hotWords)
+    val tokCold = tok.join(broadcast(hot.select(col("w"))), Seq("w"), "left_anti")
+    val scoredTok = tok.join(broadcast(hot), Seq("w"))
+      .union(tokCold.join(counts, Seq("w")))
+      .crossJoin(broadcast(tot))
+      .withColumn("tok_score", expr("cnt * 1000000L div n"))
     scoredTok.groupBy("id").agg(
         count(lit(1)).as("tokens"),
         expr("sum(tok_score) div count(1)").as("lm_score_x1e6"))

@@ -143,11 +143,14 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.operators.TextAnalysis.unigramLikelihood(docs, "doc_id", "text",
       hotWords = 4)
     val plan = planOf(df)
-    // the frequency-split join: heavy (stopword) keys must ride a
-    // broadcast join — a plain equi-join on the word hash would hand the
-    // heaviest word's partition a corpus-scale task
-    assert(plan.contains("BroadcastHashJoin"),
-      s"hot-vocabulary side must broadcast:\n$plan")
+    // the frequency-split join: heavy (stopword) keys must ride an INNER
+    // broadcast join (the anti-join that builds the cold set is also a
+    // broadcast — requiring Inner keeps this gate non-vacuous) — a plain
+    // equi-join on the word would hand the heaviest word's partition a
+    // corpus-scale task
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("Inner")),
+      s"hot-vocabulary scoring join must broadcast (Inner):\n$plan")
     df.count() // and it computes
   }
 
