@@ -312,6 +312,14 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    // returning early-stopped labels would hand dedup MUTUALLY
+    // INCONSISTENT cluster ids (several survivors per component) with no
+    // signal — a component with diameter > maxRounds must be loud
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds — " +
+          "a component's diameter exceeds maxRounds; raise it " +
+          "(rounds cost two id-joins each)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 }

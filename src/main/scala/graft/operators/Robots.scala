@@ -170,6 +170,16 @@ object Robots {
     if (url == null) return ""
     val ss = url.indexOf("://")
     if (ss < 0) return ""
+    // the pre-"://" prefix must be scheme-shaped (no '/', '?', '#'):
+    // "foo/bar://x" is a relative path, not an authority URL — and the
+    // join path's regex applies the same rule, so both paths gate the
+    // same pages
+    var v = 0
+    while (v < ss) {
+      val c = url.charAt(v)
+      if (c == '/' || c == '?' || c == '#') return ""
+      v += 1
+    }
     val n = url.length
     var end = ss + 3
     while (end < n && { val c = url.charAt(end); c != '/' && c != '?' && c != '#' }) end += 1
@@ -268,9 +278,11 @@ object Robots {
       // part and the bracket close are as PERMISSIVE as hostOf's scanner
       // ('1http://h/x', 'http://[::1/x') so the two paths gate the same
       // pages even on malformed URLs.
+      // the LAZY prefix match splits at the FIRST "://" like hostOf's
+      // indexOf (a greedy class would split at the last)
       .withColumn("__host",
         lower(regexp_extract(col(urlCol),
-          "^[^:/?#]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]?|[^/?#:]+)", 1)))
+          "^[^/?#]*?://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]?|[^/?#:]+)", 1)))
       .withColumn("__salt", pmod(xxhash64(col(urlCol)), lit(saltBuckets)).cast("int"))
     val robotsSalted = robots
       .select(lower(col("host")).as("__host"), col("robots_txt"))

@@ -132,6 +132,8 @@ object PdfTextExtractor {
     val line = new java.lang.StringBuilder
     var pendingShow = new java.lang.StringBuilder // last parsed string(s)
     var inText = false
+    // total dict-scan allowance for this stream (see skipDict)
+    var dictBudget = math.min(n.toLong * 2 + 8192, Int.MaxValue.toLong).toInt
 
     def endLine(): Unit = {
       if (line.length > 0) { out += line.toString; line.setLength(0) }
@@ -153,7 +155,12 @@ object PdfTextExtractor {
         // dict inside the stream (BDC property lists, inline image dicts):
         // skip the WHOLE dict including its strings — '/ActualText (fi)'
         // must not leak into the next show
-        i = skipDict(cs, i)
+        // per-call window + stream-total budget keep adversarial repeated
+        // '<<' (each failing scan costs its window) at O(n) overall
+        val window = math.max(0, math.min(dictBudget, 8192))
+        val j = skipDict(cs, i, window)
+        dictBudget -= (if (j == i + 2) window else j - i)
+        i = j
       } else if (c == 'B' && i + 1 < n && cs(i + 1) == 'T' && delim(cs, i + 2)) {
         inText = true; pendingShow.setLength(0); i += 2
       } else if (c == 'E' && i + 1 < n && cs(i + 1) == 'T' && delim(cs, i + 2)) {
@@ -179,13 +186,15 @@ object PdfTextExtractor {
 
   /** Skip a `<< ... >>` dict (nesting + strings); returns index after the
     * closing `>>`. Strings are parsed so a ')' or '>>' inside them cannot
-    * end the dict early. An UNBALANCED `<<` (corrupt/truncated stream)
-    * falls back to skipping just the two bytes — consuming to
-    * end-of-stream would silently drop every text block after the glitch. */
-  private def skipDict(cs: Array[Byte], start: Int): Int = {
+    * end the dict early. An UNBALANCED `<<` within `maxScan` bytes
+    * (corrupt/truncated stream, or a dict larger than any sane one) falls
+    * back to skipping just the two bytes — consuming to end-of-stream
+    * would silently drop every text block after the glitch, and an
+    * unbounded scan per stray '<<' would be O(n²) on hostile input. */
+  private def skipDict(cs: Array[Byte], start: Int, maxScan: Int): Int = {
     var i = start + 2
     var depth = 1
-    val n = cs.length
+    val n = math.min(cs.length, start + 2 + maxScan)
     val sink = new java.lang.StringBuilder
     while (i < n && depth > 0) {
       val c = cs(i).toChar

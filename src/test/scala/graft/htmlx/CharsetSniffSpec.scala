@@ -53,6 +53,10 @@ class CharsetSniffSpec extends AnyFunSuite {
     assert(d("<a href=\"?charset=utf-8\">no meta at all</a>") == None)
     // HTML whitespace (tabs/newlines) around '=' is accepted
     assert(d("<meta charset\t=\n'windows-1252'>") == Some("windows-1252"))
+    // a stray apostrophe in an UNQUOTED value must not swallow the '>'
+    // and let body-text 'charset=' tokens pose as declarations
+    assert(d("<meta title=rock'n> <p> charset=koi8-r </p>" +
+      "<meta charset=\"windows-1252\">") == Some("windows-1252"))
     // a '>' inside a quoted attribute value must not truncate the tag scan
     assert(d("<meta content=\"a > b\" charset=windows-1252>")
       == Some("windows-1252"))

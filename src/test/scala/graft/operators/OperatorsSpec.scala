@@ -66,6 +66,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert((10L to 12L).forall(out(_) == 10L))
     assert(out(20L) == 20L && out(21L) == 20L)
     assert(out.size == 10)
+    // a component whose diameter exceeds maxRounds must FAIL LOUDLY —
+    // early-stopped labels are mutually inconsistent
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 2).collect()
+    }
   }
 
   test("minhash bucket cap binds deterministically on oversize clusters") {

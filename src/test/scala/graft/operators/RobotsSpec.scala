@@ -166,9 +166,12 @@ class RobotsSpec extends AnyFunSuite {
         ("https://u:pw@b.example/userinfo-variant", 7L),
         // a null url cannot be robots-checked: passes through
         (null: String, 8L),
-        // malformed scheme: hostOf and the join regex must agree (both
-        // extract b.example and apply its disallow-all)
-        ("1http://b.example/malformed-scheme", 9L)
+        // malformed schemes: hostOf and the join regex must agree (both
+        // extract b.example and apply its disallow-all; a '/' in the
+        // prefix means "not an authority URL" on both paths → kept)
+        ("1http://b.example/malformed-scheme", 9L),
+        ("a:b://b.example/colon-prefix", 10L),
+        ("foo/bar://b.example/path-prefix", 11L)
       ).toDF("url", "id")
       val robots = Seq(
         ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/public\n"),
@@ -179,7 +182,7 @@ class RobotsSpec extends AnyFunSuite {
       ).toDF("host", "robots_txt")
       val kept = f(pages, robots)
         .select($"id").as[Long].collect().sorted.toSeq
-      assert(kept == Seq(1L, 3L, 5L, 8L))
+      assert(kept == Seq(1L, 3L, 5L, 8L, 11L))
       assert(f(pages, robots).columns.toSeq == Seq("url", "id"),
         "helper columns must not leak into the output schema")
     } finally spark.stop()

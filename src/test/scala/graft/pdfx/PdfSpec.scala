@@ -95,6 +95,18 @@ class PdfSpec extends AnyFunSuite {
     assert(ex.lines == Seq("after glitch"), ex)
   }
 
+  test("streams of repeated unbalanced '<<' stay linear-time") {
+    // 200k stray '<<' with no closers: the per-call window + stream
+    // budget must keep this from going quadratic (a naive scan-to-end
+    // per occurrence touches ~10^10 bytes)
+    val cs = ("<< " * 200000 + "BT (survives) Tj ET").getBytes(StandardCharsets.ISO_8859_1)
+    val t0 = System.nanoTime()
+    val ex = PdfTextExtractor.extract(buildWith(cs))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(ex.lines == Seq("survives"), ex)
+    assert(sec < 10.0, s"hostile dict stream too slow: $sec s")
+  }
+
   test("never throws and is deterministic on arbitrary and mutated bytes") {
     val rnd = new java.util.Random(0xBADF00D)
     // pure random bytes
