@@ -15,9 +15,11 @@ final case class TextBlock(
     isHeading: Boolean,
     penalized: Boolean = false) {
   def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
-  /** Text density: words per 80-char wrapped line (WSDM 2010 §3.2). */
+  /** Text density: words per 80-char wrapped line (WSDM 2010 §3.2) —
+    * an exposed per-block feature for downstream rankers; classify()
+    * itself uses the paper's NumWords/LinkDensity rules only. */
   def textDensity: Double = {
-    val lines = math.max(1, text.length / 80)
+    val lines = math.max(1, (text.length + 79) / 80)
     words.toDouble / lines
   }
 }
@@ -256,7 +258,22 @@ object Extractor {
     }
 
     def walk(e: HElement, elemIdx: Int, path: String, heading: Boolean, pen: Boolean): Unit = {
-      if (!(e.ns eq Ns.html)) () // svg/math subtree: skip text
+      if (!(e.ns eq Ns.html)) {
+        // foreign (SVG/MathML) subtree: its own text never renders as
+        // document text, but HTML-namespace islands inside integration
+        // points (foreignObject, annotation-xml, svg desc/title) DO —
+        // descend through elements only, skipping foreign text nodes
+        var idx = 0
+        val cs = e.children
+        var i = 0
+        while (i < cs.length) {
+          cs(i) match {
+            case el: HElement => walk(el, idx, path, heading, pen); idx += 1
+            case _ => ()
+          }
+          i += 1
+        }
+      }
       else {
         val fRef = nameFlags.get(e.name)
         val f = if (fRef == null) 0 else fRef.intValue
@@ -297,44 +314,49 @@ object Extractor {
     out.toVector
   }
 
-  /** Link-graph edges in DOM (document) order: (href, normalized anchor
-    * text) for every HTML-namespace `<a>` carrying an href attribute —
-    * the edge list a web-graph / PageRank stage consumes. SVG `<a>` links
-    * and href-less anchors are skipped; nesting cannot occur (the parser
-    * forbids nested `<a>`). */
+  /** Link-graph edges in DOM (document) order of the anchor START tags:
+    * (href, normalized anchor text) for every HTML-namespace `<a>`
+    * carrying an href attribute — the edge list a web-graph / PageRank
+    * stage consumes. Semantics:
+    *   - NESTED anchors (the parser produces `<a>`-in-`<a>` via foster
+    *     parenting) each get their own edge; text belongs to the
+    *     INNERMOST open anchor, so an inner edge's words never pollute
+    *     the outer edge.
+    *   - `ignored` subtrees (script/style/select/...) contribute neither
+    *     text nor edges — same exclusions as [[segment]].
+    *   - foreign (SVG/MathML) text is skipped but HTML-namespace islands
+    *     inside integration points (foreignObject etc.) ARE descended:
+    *     browsers render their links. Native SVG `<a>` stays excluded.
+    *   - href-less anchors pass text through to the enclosing anchor. */
   def links(root: HParent): ArrayBuffer[(String, String)] = {
     val out = new ArrayBuffer[(String, String)](16)
-    val text = new java.lang.StringBuilder
-    def collectText(p: HParent): Unit = {
-      val cs = p.children
-      var i = 0
-      while (i < cs.length) {
-        cs(i) match {
-          case t: HText => text.append(t.sb)
-          case e: HElement if e.ns eq Ns.html => collectText(e)
-          case _ => ()
+    val hrefs = new ArrayBuffer[String](16)
+    val bufs = new ArrayBuffer[java.lang.StringBuilder](4) // open-anchor stack
+    def walk(n: HNode): Unit = n match {
+      case t: HText =>
+        if (bufs.nonEmpty) bufs(bufs.length - 1).append(t.sb)
+      case e: HElement if e.ns eq Ns.html =>
+        if (!ignored.contains(e.name)) {
+          val href = if (e.name == "a") e.attr("href") else None
+          href match {
+            case Some(h) =>
+              val slot = out.length
+              out += null // reserve: DOM order of start tags
+              hrefs += h
+              bufs += new java.lang.StringBuilder
+              e.children.foreach(walk)
+              val buf = bufs.remove(bufs.length - 1)
+              out(slot) = (hrefs.remove(hrefs.length - 1),
+                normalizeWs(buf.toString).trim)
+            case None => e.children.foreach(walk)
+          }
         }
-        i += 1
-      }
-    }
-    def walk(p: HParent): Unit = {
-      val cs = p.children
-      var i = 0
-      while (i < cs.length) {
-        cs(i) match {
-          case e: HElement if (e.ns eq Ns.html) && e.name == "a" =>
-            e.attr("href") match {
-              case Some(href) =>
-                text.setLength(0)
-                collectText(e)
-                out += ((href, normalizeWs(text.toString).trim))
-              case None => walk(e)
-            }
-          case e: HElement if e.ns eq Ns.html => walk(e)
-          case _ => ()
-        }
-        i += 1
-      }
+      case e: HElement =>
+        // foreign element: no text, no native-SVG links — but descend to
+        // reach HTML-namespace islands
+        e.children.foreach { case el: HElement => walk(el); case _ => () }
+      case p: HParent => p.children.foreach(walk)
+      case _ => ()
     }
     walk(root)
     out

@@ -70,21 +70,22 @@ object Serializer {
     * loses quirks-mode semantics on reparse; an extraction library values
     * the roundtrip). Idempotence after one roundtrip is asserted over the
     * whole conformance corpus in DomSpec. */
+  private val voids = Set("area", "base", "basefont", "bgsound", "br", "col",
+    "embed", "frame", "hr", "img", "input", "keygen", "link", "meta", "param",
+    "source", "track", "wbr")
+  // NOT "noscript": this engine parses with scripting disabled, so
+  // noscript children are real parsed markup whose text nodes hold
+  // DECODED text — emitting them verbatim would let "&lt;b&gt;" text
+  // reparse as a <b> element (mXSS-shaped parser/serializer split).
+  // The spec's verbatim rule for noscript applies only when scripting
+  // is enabled and its content was tokenized as raw text.
+  private val rawText = Set("script", "style", "xmp", "iframe", "noembed",
+    "noframes", "plaintext")
+
   def toHtml(n: HNode): String = {
     val sb = new java.lang.StringBuilder
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    val voids = Set("area", "base", "basefont", "bgsound", "br", "col", "embed",
-      "frame", "hr", "img", "input", "keygen", "link", "meta", "param",
-      "source", "track", "wbr")
-    // NOT "noscript": this engine parses with scripting disabled, so
-    // noscript children are real parsed markup whose text nodes hold
-    // DECODED text — emitting them verbatim would let "&lt;b&gt;" text
-    // reparse as a <b> element (mXSS-shaped parser/serializer split).
-    // The spec's verbatim rule for noscript applies only when scripting
-    // is enabled and its content was tokenized as raw text.
-    val rawText = Set("script", "style", "xmp", "iframe", "noembed",
-      "noframes", "plaintext")
     def walk(n: HNode, raw: Boolean): Unit = n match {
       case e: HElement =>
         sb.append('<').append(e.name)

@@ -90,7 +90,10 @@ object ExtractPipeline {
         ex.charCount, ex.nodeCount, charset,
         parsed.errors, ok = true)
     } catch {
-      case t: Throwable =>
+      // NonFatal: an OOM/StackOverflow/task-kill interrupt must FAIL the
+      // task (Spark's retry/speculation machinery owns those), not become
+      // an ok=false data row on a corrupted executor
+      case scala.util.control.NonFatal(t) =>
         ExtractedDoc(url, "", Nil, 0, 0, null,
           Seq(s"parse failure: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"),
           ok = false)
@@ -176,18 +179,33 @@ object ExtractPipeline {
     * buckets done. A killed run leaves the metrics table untouched and
     * re-processes (dynamically overwriting) exactly the unfinished buckets. */
   def run(spark: SparkSession, inputPath: String, outputDir: String,
-          buckets: Int = 64, saltFactor: Int = 16, epoch: Int = 0): RunResult = {
+          buckets: Int = 64, saltFactor: Int = 16, epoch: Int = 0,
+          decodeLadder: Boolean = false): RunResult = {
     import spark.implicits._
     val extractedPath = s"$outputDir/extracted"
     val metricsPath = s"$outputDir/metrics"
 
     val done: Set[Int] = TableIO.readMetrics(spark, metricsPath)
-      .map(df => df.filter($"epoch" === epoch).select($"bucket").as[Int].collect().toSet)
+      .map { df =>
+        val ep = df.filter($"epoch" === epoch)
+        // resume under a DIFFERENT bucket layout would both skip
+        // never-processed rows and double-write others — refuse loudly
+        if (ep.columns.contains("buckets")) {
+          val layouts = ep.select($"buckets").distinct().as[Int].collect()
+          require(layouts.forall(_ == buckets),
+            s"epoch $epoch was started with buckets=${layouts.mkString(",")}; " +
+              s"resuming with buckets=$buckets would corrupt the output")
+        }
+        ep.select($"bucket").as[Int].collect().toSet
+      }
       .getOrElse(Set.empty)
 
     val input = spark.read.parquet(inputPath)
       .select($"url", $"warc_ts", $"html") // prune text/lang before typed stage
-      .filter($"html".isNotNull && length($"url") > 0)
+      // a null url cannot be a drop reason (the row still extracts — it
+      // degrades to ""), but null/EMPTY html has nothing to parse
+      .withColumn("url", coalesce($"url", lit("")))
+      .filter($"html".isNotNull && length($"html") > 0)
       .withColumn("bucket", bucketCol($"url", buckets, saltFactor, epoch))
 
     val pending = if (done.isEmpty) input
@@ -206,31 +224,43 @@ object ExtractPipeline {
       .mapPartitions { rows =>
         val engine = new HtmlParser.Engine
         rows.map { case (bucket, url, html) =>
-          val doc = parseOne(url, html, engine)
+          val doc = parseOne(url, html, engine, decodeLadder)
           acc.add((bucket, doc))
           (bucket, doc)
         }
       }
       .select($"_2.*", $"_1".as("bucket"))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    extracted.write.mode("overwrite").partitionBy("bucket").parquet(extractedPath)
+    // scoped to THIS write: mutating the session conf would silently turn
+    // every later overwrite in the same session dynamic
+    extracted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(extractedPath)
 
     // durable-commit gate: every processed bucket's partition directory must
     // exist on disk before the metrics append declares it done (file-level
     // listing only — dynamic partition overwrite emits no root _SUCCESS)
     val root = new org.apache.hadoop.fs.Path(extractedPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tallies = acc.value.toSeq.sortBy(_._1)
-    tallies.foreach { case (b, _) =>
-      val dir = new org.apache.hadoop.fs.Path(s"$extractedPath/bucket=$b")
-      require(fs.exists(dir), s"missing partition $dir after write")
+    // EVERY pending bucket gets a metrics row — a bucket that received
+    // zero rows is still DONE (without its row, resume would rescan the
+    // input forever waiting for it); empty buckets write no partition
+    // dir, so the durable-commit gate applies to row-bearing ones only
+    val tallied = acc.value
+    val tallies = ((0 until buckets).toSet -- done).toSeq.sorted
+      .map(b => b -> tallied.getOrElse(b, new BucketTally))
+    tallies.foreach { case (b, t) =>
+      if (t.rows > 0) {
+        val dir = new org.apache.hadoop.fs.Path(s"$extractedPath/bucket=$b")
+        require(fs.exists(dir), s"missing partition $dir after write")
+      }
     }
 
     val durMs = System.currentTimeMillis() - t0
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val metrics = tallies.map { case (b, t) =>
-      BucketMetrics(epoch, b, t.rows, t.ok, t.failed, t.charSum, t.parseErrors, durMs, now)
+      BucketMetrics(epoch, b, buckets, t.rows, t.ok, t.failed, t.charSum,
+        t.parseErrors, durMs, now)
     }
     spark.createDataset(metrics).write.mode("append").parquet(metricsPath)
     RunResult(pendingBuckets, tallies.map(_._2.rows).sum)

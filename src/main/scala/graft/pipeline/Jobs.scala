@@ -65,7 +65,9 @@ object ExtractJob {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).toInt
     val spark = SparkEnv.session(master, "graft-extract", shuffleParts)
     spark.sparkContext.setLogLevel("WARN")
-    val res = ExtractPipeline.run(spark, input, output, buckets = buckets, epoch = epoch)
+    val decodeLadder = args.length > 4 && args(4).toBoolean
+    val res = ExtractPipeline.run(spark, input, output, buckets = buckets,
+      epoch = epoch, decodeLadder = decodeLadder)
     println(s"""{"pendingBuckets":${res.pendingBuckets},"rowsProcessed":${res.rowsProcessed}}""")
     spark.stop()
   }

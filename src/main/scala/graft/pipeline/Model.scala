@@ -28,6 +28,7 @@ final case class ExtractedDoc(
 final case class BucketMetrics(
     epoch: Int,
     bucket: Int,
+    buckets: Int, // the epoch's bucket COUNT: resume must not mix layouts
     rows: Long,
     ok: Long,
     failed: Long,

@@ -121,6 +121,35 @@ class ExtractionSpec extends AnyFunSuite {
     assert(Extractor.links(doc).forall(_._1 != "/hidden"))
   }
 
+  test("links: nested anchors via foster parenting each get their own edge") {
+    // the parser really does produce <a>-in-<a> here (adoption/foster):
+    // the inner edge must exist and its text must not pollute the outer
+    // DOM: <a href=a>["outer", <a href=b>"inner", <table>], then the AFE
+    // reconstructs a fresh <a href=b> holding "tail" after the table
+    val html = "<a href=\"a\">outer<table><a href=\"b\">inner</table>tail"
+    val ls = Extractor.links(HtmlParser.parseDocument(html).doc)
+    assert(ls.toSeq == Seq(("a", "outer"), ("b", "inner"), ("b", "tail")), ls)
+  }
+
+  test("links: ignored subtrees contribute neither text nor edges") {
+    val html = "<body><a href='/x'>Read more<style>.a{color:red}</style></a>" +
+      "<select><a href='/hidden'>nope</a></select>"
+    val ls = Extractor.links(HtmlParser.parseDocument(html).doc)
+    assert(ls.toSeq == Seq(("/x", "Read more")), ls)
+  }
+
+  test("HTML islands inside foreignObject render: text and links survive") {
+    val words = (1 to 30).map(i => s"word$i").mkString(" ")
+    val html = s"<body><svg><desc>svg desc text</desc><foreignObject>" +
+      s"<p>$words</p><a href='http://x.example/in-fo'>fo link</a>" +
+      "</foreignObject><circle>raw svg</circle></svg>"
+    val doc = HtmlParser.parseDocument(html).doc
+    val ex = Extractor.extract(doc)
+    assert(ex.text.contains("word1") && ex.text.contains("word30"))
+    assert(!ex.text.contains("raw svg"))
+    assert(Extractor.links(doc).toSeq == Seq(("http://x.example/in-fo", "fo link")))
+  }
+
   test("link extraction: DOM order, normalized anchors, foreign/href-less skipped") {
     val html =
       """<body><p><a href="/x">one  <b>two</b>

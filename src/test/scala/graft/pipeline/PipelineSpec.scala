@@ -81,7 +81,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out2 = s"$tmp/out2"
     // pre-mark half the buckets done at epoch 0 with fake metrics
     val fake = (0 until buckets / 2).map(b =>
-      BucketMetrics(0, b, 0, 0, 0, 0, 0, 0, new java.sql.Timestamp(0)))
+      BucketMetrics(0, b, buckets, 0, 0, 0, 0, 0, 0, new java.sql.Timestamp(0)))
     spark.createDataset(fake).write.mode("overwrite").parquet(s"$out2/metrics")
     val res = ExtractPipeline.run(spark, s"$tmp/pages", out2, buckets = buckets)
     assert(res.pendingBuckets == buckets / 2)
@@ -90,6 +90,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.forall(_ >= buckets / 2), s"processed done buckets: $seen")
     val m2 = spark.read.parquet(s"$out2/metrics")
     assert(m2.select($"bucket").distinct().count() == buckets.toLong)
+  }
+
+  test("empty buckets converge: tiny input at a wide layout still finishes") {
+    val out3 = s"$tmp/out3"
+    // 5 rows over 64 buckets: most buckets receive zero rows, and every
+    // pending bucket must STILL be marked done or resume spins forever
+    SynthCorpusJob.write(spark, 5, s"$tmp/pages5", partitions = 1)
+    val r1 = ExtractPipeline.run(spark, s"$tmp/pages5", out3, buckets = 64)
+    assert(r1.pendingBuckets == 64 && r1.rowsProcessed == 5L)
+    val r2 = ExtractPipeline.run(spark, s"$tmp/pages5", out3, buckets = 64)
+    assert(r2.pendingBuckets == 0 && r2.rowsProcessed == 0L,
+      s"resume did not converge: $r2")
+  }
+
+  test("resume refuses a different bucket layout for the same epoch") {
+    val out4 = s"$tmp/out4"
+    ExtractPipeline.run(spark, s"$tmp/pages5", out4, buckets = 16)
+    intercept[IllegalArgumentException] {
+      ExtractPipeline.run(spark, s"$tmp/pages5", out4, buckets = 32)
+    }
   }
 
   test("mixed-media corpus: PDFs and HTML route to the right leg in one job") {
