@@ -208,6 +208,36 @@ object SparkEntry {
           col("lines_dropped").cast("long").as("lines_dropped"))
         .orderBy("doc_id")
     }),
+    "dedup_paragraphs" -> ((s, dir) => {
+      // CCNet hashed-paragraph dedup: the single-line corpus becomes
+      // multi-paragraph deterministically (every space → blank-line
+      // separator: word-paragraphs with heavy cross-corpus duplication —
+      // same worst-case construction as dedup_lines, one level up).
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " ", "\n\n").as("text"))
+      graft.operators.Dedup.paragraphLevel(d, "doc_id", "text", minParaChars = 4)
+        .select(col("doc_id"), col("text"),
+          col("paras_kept").cast("long").as("paras_kept"),
+          col("paras_dropped").cast("long").as("paras_dropped"))
+        .orderBy("doc_id")
+    }),
+    "dedup_substring" -> ((s, dir) => {
+      // ExactSubstr (Lee et al. 2022) at k=3 tokens: every 3-gram that
+      // recurs anywhere in the corpus survives only at its first
+      // occurrence; all other occurrences' 3-token windows are removed.
+      // (k=50 in the paper; k=3 here so the 10–99-word synthetic corpus
+      // exercises the removal path — 6.8k duplicated 3-grams at sf0.01.)
+      graft.operators.Dedup.substringLevel(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id")
+    }),
+    "quality_score" -> ((s, dir) => {
+      // fastText-style linear quality classifier over the gopher feature
+      // battery, fixed integer weights; threshold 2650 splits this corpus
+      // (scores span 2510–2799, median 2750).
+      graft.operators.TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text",
+          threshold = 2650)
+        .orderBy("doc_id")
+    }),
     "dedup_components" -> ((s, dir) => {
       // connected components over a deterministic near-dup pair graph:
       // each group of ten ids contributes a 5-node CHAIN 10k..10k+4
@@ -658,7 +688,7 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'of and that have' ELSE '' END) AS t
         |  FROM documents),
         |f AS (SELECT doc_id, t,
-        |    string_split_regex(trim(t), '\s+') AS w,
+        |    list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0) AS w,
         |    string_split(t, chr(10)) AS ln FROM d),
         |g AS (SELECT doc_id,
         |    len(w) AS words,
@@ -765,6 +795,101 @@ object SparkEntry {
         |  coalesce(dn.dropped_n, 0) AS lines_dropped
         |FROM d LEFT JOIN outv USING (doc_id) LEFT JOIN dn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' ', chr(10) || chr(10)) AS text FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS a FROM d),
+        |pn AS (SELECT doc_id, unnest(list_transform(range(len(a)),
+        |         i -> struct_pack(idx := i, p := a[i+1]))) AS e FROM arr),
+        |l AS (SELECT doc_id, e.idx AS idx, e.p AS p FROM pn),
+        |elig AS (SELECT * FROM l WHERE len(p) >= 4),
+        |rk AS (SELECT doc_id, idx,
+        |         row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn,
+        |         count(*) OVER (PARTITION BY p) AS cnt FROM elig),
+        |drops AS (SELECT doc_id, idx FROM rk WHERE cnt > 1 AND rn > 1),
+        |kept AS (SELECT l.doc_id, l.idx, l.p
+        |         FROM l ANTI JOIN drops USING (doc_id, idx)),
+        |outv AS (SELECT doc_id, string_agg(p, chr(10) || chr(10) ORDER BY idx) AS text,
+        |           count(*) AS kept_n FROM kept GROUP BY doc_id),
+        |dn AS (SELECT doc_id, count(*) AS dropped_n FROM drops GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(outv.text, '') AS text,
+        |  coalesce(outv.kept_n, 0) AS paras_kept,
+        |  coalesce(dn.dropped_n, 0) AS paras_dropped
+        |FROM d LEFT JOIN outv USING (doc_id) LEFT JOIN dn USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // ExactSubstr at k=3: positioned 62-bit k-gram hashes (same Karp–Rabin
+    // dialect as dedup_minhash — concatenation WITHOUT separator), first
+    // occurrence = min (doc_id, pos), non-first occurrences' [pos, pos+3)
+    // token windows removed, text rebuilt from survivors.
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |        i -> struct_pack(pos := i,
+        |          h := (list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |                 list_transform(range(length(w[i+1] || w[i+2] || w[i+3])), ci ->
+        |                   CAST(ascii((w[i+1] || w[i+2] || w[i+3])[ci+1]) AS BIGINT))),
+        |                 (a, c) -> (a * 37 + c) % 2147483647) << 31)
+        |              | list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |                 list_transform(range(length(w[i+1] || w[i+2] || w[i+3])), ci ->
+        |                   CAST(ascii((w[i+1] || w[i+2] || w[i+3])[ci+1]) AS BIGINT))),
+        |                 (a, c) -> (a * 31 + c) % 2147483647)))) AS e
+        |      FROM t WHERE len(w) >= 3),
+        |o AS (SELECT doc_id, e.pos AS pos, e.h AS h FROM g),
+        |rk AS (SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |         count(*) OVER (PARTITION BY h) AS cnt FROM o),
+        |ds AS (SELECT doc_id, list(pos) AS starts
+        |       FROM rk WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+        |cov AS (SELECT doc_id,
+        |          list_distinct(flatten(list_transform(starts, s -> range(s, s + 3)))) AS cv
+        |        FROM ds)
+        |SELECT t.doc_id,
+        |  CASE WHEN cov.cv IS NULL THEN t.text
+        |       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        |       -- array_join([]) is '' (all-words-dropped docs)
+        |       ELSE coalesce(array_to_string(
+        |         list_filter(w, (x, i) -> NOT list_contains(cov.cv, i - 1)), ' '), '')
+        |  END AS text,
+        |  CAST(len(w) - coalesce(len(cov.cv), 0) AS BIGINT) AS words_kept,
+        |  CAST(coalesce(len(cov.cv), 0) AS BIGINT) AS words_dropped
+        |FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Fixed-weight linear quality classifier over the gopher features
+    // (integer-exact replica of TextAnalysis.qualityScore's published
+    // weight vector).
+    "quality_score" ->
+      """WITH f AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w,
+        |    string_split(text, chr(10)) AS ln, text FROM documents),
+        |g AS (SELECT doc_id,
+        |    len(w) AS words,
+        |    CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100 /
+        |      greatest(len(w), 1)) AS BIGINT) AS mwl,
+        |    CAST(floor(len(regexp_extract_all(text, '#|…|\.\.\.')) * 1000 /
+        |      greatest(len(w), 1)) AS BIGINT) AS sym,
+        |    CAST(floor(len(list_filter(ln, l -> starts_with(trim(l), '•')
+        |      OR starts_with(trim(l), '- '))) * 1000 /
+        |      greatest(len(ln), 1)) AS BIGINT) AS bul,
+        |    CAST(floor(len(list_filter(ln, l -> ends_with(trim(l), '...')
+        |      OR ends_with(trim(l), '…'))) * 1000 /
+        |      greatest(len(ln), 1)) AS BIGINT) AS ell,
+        |    CAST(floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1000 /
+        |      greatest(len(w), 1)) AS BIGINT) AS alpha_word_ratio_x1000,
+        |    CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS gopher_stops
+        |  FROM f)
+        |SELECT doc_id, words, alpha_word_ratio_x1000, gopher_stops,
+        |  2 * alpha_word_ratio_x1000 + least(words, 1000)
+        |    + 200 * least(gopher_stops, 5) - 5 * sym - 2 * bul - 2 * ell
+        |    + (CASE WHEN mwl BETWEEN 300 AND 1000 THEN 500 ELSE -500 END) AS quality_score_x1000,
+        |  (2 * alpha_word_ratio_x1000 + least(words, 1000)
+        |    + 200 * least(gopher_stops, 5) - 5 * sym - 2 * bul - 2 * ell
+        |    + (CASE WHEN mwl BETWEEN 300 AND 1000 THEN 500 ELSE -500 END)) >= 2650 AS high_quality
+        |FROM g ORDER BY doc_id""".stripMargin,
     "dedup_url" ->
       """WITH grps AS (
         |  SELECT doc_id // 4 AS grp, min(doc_id) AS doc_id, count(*) AS captures

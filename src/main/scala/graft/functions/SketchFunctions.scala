@@ -91,6 +91,23 @@ object Sketch {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** POSITIONED k-word shingle hashes: out(i) = hash62 of words[i, i+k) —
+    * NOT distinct (the span-level dedup operator needs every occurrence's
+    * token offset). Same 31/37 Mersenne-31 dialect as [[wordShingles]], so
+    * the DuckDB oracle recomputes identical values. */
+  def wordShinglesPos(text: UTF8String, k: Int): ArrayData = {
+    val words = splitSpace(text.toString)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = shingleHash(words, i, k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: sig[j] = min over shingles of XXH64.hashLong(h, j)
     * (seed-j xxhash as the j-th permutation). Null when the doc has no
     * shingles (absent from the signature table, like the explode+agg
@@ -210,6 +227,16 @@ object SketchFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class WordShinglesPos(child: Expression, k: Int) extends SketchUnary {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "word_shingles_pos"
+    override def nullSafeEval(t: Any): Any =
+      Sketch.wordShinglesPos(t.asInstanceOf[UTF8String], k)
+    override protected def callExpr(c: String): String =
+      s"graft.functions.Sketch.wordShinglesPos($c, $k)"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
@@ -267,6 +294,8 @@ object SketchFunctions {
   }
 
   def word_shingles(text: Column, k: Int): Column = toCol(WordShingles(toExpr(text), k))
+  def word_shingles_pos(text: Column, k: Int): Column =
+    toCol(WordShinglesPos(toExpr(text), k))
   def minhash_sig(text: Column, k: Int, numHashes: Int): Column =
     toCol(MinHashSig(toExpr(text), k, numHashes))
   def simhash62(text: Column): Column = toCol(SimHash62(toExpr(text)))

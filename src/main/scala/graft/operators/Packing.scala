@@ -28,10 +28,22 @@ object Packing {
                (implicit spark: SparkSession): DataFrame = {
     require(tokensPerChunk > 0, "tokensPerChunk must be positive")
     val p = if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
+    // ONE evaluation of the input lineage across the three actions below
+    // (min/max, per-bucket totals, final windowed pass): a nondeterministic
+    // input would otherwise make the collected bucket offsets disagree with
+    // the final pass — the same cross-evaluation divergence Similarity
+    // pins with a centroid cache (ADVICE r04). localCheckpoint (not cache):
+    // the snapshot is (id, tokens, chunks) — 24 B/row, far smaller than the
+    // docs — its lineage is cut so the window plan stays flat, and the
+    // executor blocks are released by the ContextCleaner when the returned
+    // plan is no longer referenced (a CacheManager entry would pin storage
+    // until an explicit unpersist). Caveat: executor-local blocks are not
+    // fault-tolerant; a lost executor fails the job instead of recomputing.
     val base = docs.select(col(idCol).cast("long").as("id"),
         tokensCol.cast("long").as("tokens"))
       .withColumn("chunks",
         ceil(col("tokens").cast("double") / tokensPerChunk).cast("long"))
+      .localCheckpoint(true)
     val Array(row) = base.agg(min("id"), max("id")).collect()
     if (row.isNullAt(0)) return base.withColumn("chunk_start", lit(0L))
       .select(col("id"), col("tokens"), col("chunks"), col("chunk_start"))

@@ -215,16 +215,31 @@ object Robots {
     * allows for `agent` — the default, shuffle-free path.
     *
     * The robots set is collected, compiled ONCE per host on the driver,
-    * and broadcast; pages are filtered by a narrow typed predicate. No
-    * exchange touches the corpus, so host skew cannot concentrate it
-    * (PlanSpec: "robots gate never shuffles the corpus"). Driver/broadcast
-    * memory is O(distinct hosts × compiled rules) — use
-    * [[filterAllowedJoin]] when the robots set itself is cluster-scale.
+    * and broadcast; pages are filtered by a narrow NATIVE predicate over
+    * the url column only — no exchange touches the corpus (host skew
+    * cannot concentrate it), and no serialization boundary interrupts
+    * whole-stage codegen (the round-4 typed `Row` filter deserialized
+    * every corpus column — html payload included — to read one string;
+    * PlanSpec gates both: no corpus exchange AND no DeserializeToObject).
+    * Driver/broadcast memory is O(distinct hosts × compiled rules), so the
+    * collect is SIZE-GUARDED: one cheap aggregate over the (tiny) robots
+    * table first, and a set larger than `maxBroadcastHosts` rows or
+    * `maxBroadcastBytes` of robots_txt automatically takes
+    * [[filterAllowedJoin]] instead of OOMing the driver (callers at the
+    * documented >10⁷-host scale no longer need to have read the scaladoc).
     * A host absent from `robots` (fetch failed / none served) is allowed,
     * per RFC 9309 §2.3.1. */
   def filterAllowed(pages: DataFrame, robots: DataFrame, agent: String,
-                    urlCol: String = "url"): DataFrame = {
+                    urlCol: String = "url",
+                    maxBroadcastHosts: Long = 8L * 1000 * 1000,
+                    maxBroadcastBytes: Long = 2L << 30): DataFrame = {
     val spark = pages.sparkSession
+    val Array(guard) = robots
+      .agg(count(lit(1)), sum(octet_length(col("robots_txt")))).collect()
+    val nRows = guard.getLong(0)
+    val nBytes = if (guard.isNullAt(1)) 0L else guard.getLong(1)
+    if (nRows > maxBroadcastHosts || nBytes > maxBroadcastBytes)
+      return filterAllowedJoin(pages, robots, agent, urlCol)
     // duplicate host rows dedupe DETERMINISTICALLY (greatest robots_txt
     // wins, nulls lowest) — the same rule as filterAllowedJoin's
     // max("robots_txt"). Comparison is UTF-8 BYTE order (what Spark's
@@ -252,14 +267,65 @@ object Robots {
       h -> (if (txt == null) allowAll else parse(txt, agent))
     }.toMap
     val bc = spark.sparkContext.broadcast(compiled)
-    val urlIdx = pages.columns.indexOf(urlCol)
-    pages.filter { row: org.apache.spark.sql.Row =>
-      val url = row.getString(urlIdx)
-      // a null/hostless url cannot be robots-checked: pass through (there
-      // is nothing to disallow), matching the absent-robots permissiveness
-      url == null || bc.value.getOrElse(hostOf(url), allowAll).allowed(pathOf(url))
-    }
+    pages.filter(robots_allowed(col(urlCol), bc))
   }
+
+  /** Column wrapper for [[RobotsAllowed]]. */
+  def robots_allowed(url: Column,
+                     bc: org.apache.spark.broadcast.Broadcast[Map[String, Rules]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      RobotsAllowed(org.apache.spark.sql.GraftShim.expression(url), bc))
+
+  /** Native codegen'd predicate: does the broadcast robots rules map admit
+    * this url? Reads ONLY the url column — the corpus row never crosses a
+    * serialization boundary (a typed `Row` filter would deserialize every
+    * column, including multi-KB html payloads, per row and break
+    * whole-stage codegen on the exact stage that exists to be narrow).
+    * The broadcast handle serializes as a small reference; executors read
+    * the compiled map from the block manager once per JVM. Never null:
+    * a null url is admitted (nothing to disallow — absent-robots
+    * permissiveness, RFC 9309 §2.3.1). */
+  final case class RobotsAllowed(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Rules]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = false
+    override def prettyName: String = "robots_allowed"
+
+    def allowedUrl(u: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      u == null || urlAllowed(bc.value, u.toString)
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      allowedUrl(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("robotsGate", this, classOf[RobotsAllowed].getName)
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          |${c.code}
+          |final boolean ${ev.value} =
+          |  $ref.allowedUrl(${c.isNull} ? null : ${c.value});
+        """.stripMargin,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Per-url admission check against a compiled broadcast rules map — the
+    * kernel behind [[RobotsAllowed]]. A null/hostless url cannot be
+    * robots-checked: pass through (there is nothing to disallow), matching
+    * the absent-robots permissiveness. */
+  def urlAllowed(compiled: Map[String, Rules], url: String): Boolean =
+    url == null || compiled.getOrElse(hostOf(url), allowAll).allowed(pathOf(url))
 
   /** Join-based variant for robots sets too large to broadcast. The join
     * key is SALTED: pages carry (host, pmod(xxhash64(url), saltBuckets)),

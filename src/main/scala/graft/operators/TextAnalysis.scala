@@ -174,7 +174,14 @@ object TextAnalysis {
                         hotWords: Int = 65536): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(tokensOf(col(textCol))).as("w"))
-    val counts = tok.groupBy("w").agg(count(lit(1)).as("cnt")).cache()
+    // localCheckpoint, not cache: the vocab-sized counts are read three
+    // times (total, hot head, cold join); an eager snapshot evaluates them
+    // ONCE, and its executor blocks are released by the ContextCleaner as
+    // soon as the returned plan is unreferenced — a CacheManager entry
+    // would accumulate storage across repeated invocations in a long-lived
+    // session until someone explicitly unpersists (ADVICE r04). Cost: one
+    // count job runs at construction time instead of on first action.
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
     val tot = counts.agg(sum(col("cnt")).as("n"))
     val hot = counts.orderBy(col("cnt").desc, col("w")).limit(hotWords)
     val tokCold = tok.join(broadcast(hot.select(col("w"))), Seq("w"), "left_anti")
@@ -207,7 +214,11 @@ object TextAnalysis {
                    minAlphaWordRatioX1000: Int = 800,
                    minRequiredStops: Int = 2): DataFrame = {
     val t = col(textCol)
-    val words = split(trim(t), "\\s+")
+    // tokensOf, not split(trim(...)): trim strips only spaces, so text
+    // bracketed by tabs/newlines would yield phantom empty words, skewing
+    // words / mean_word_len / alpha_word_ratio vs the Gopher paper
+    // (ADVICE r04 — the oracle mirrors the list_filter)
+    val words = tokensOf(t)
     val nWords = greatest(size(words), lit(1))
     val lines = split(t, "\n", -1)
     val nLines = greatest(size(lines), lit(1))
@@ -239,5 +250,43 @@ object TextAnalysis {
         col("ellipsis_ratio_x1000") <= maxEllipsisRatioX1000 &&
         col("alpha_word_ratio_x1000") >= minAlphaWordRatioX1000 &&
         col("gopher_stops") >= minRequiredStops)
+  }
+
+  /** Model-based quality scoring, the fastText-style LINEAR-CLASSIFIER leg
+    * that complements the rule battery ([[gopherFilter]]) and the
+    * likelihood score ([[unigramLikelihood]]) — the third member of the
+    * standard web-corpus quality triad (rules / LM-likelihood / learned
+    * linear classifier à la GPT-3's WebText-vs-CommonCrawl LR and CCNet's
+    * fastText). No trained weights can ship in a from-scratch engine, so
+    * the score is a FIXED, published-in-the-scaladoc integer weight vector
+    * over the battery's interpretable features — deterministic,
+    * integer-exact (oracle-replicable), and structured exactly like the
+    * real thing: swap the weight literals for trained ones and nothing
+    * else changes.
+    *
+    * score_x1000 = 2·alpha_word_ratio_x1000 + min(words, 1000)
+    *             + 200·min(gopher_stops, 5)
+    *             − 5·symbol_ratio_x1000 − 2·bullet_ratio_x1000
+    *             − 2·ellipsis_ratio_x1000
+    *             + (mean_word_len_x100 ∈ [300,1000] ? 500 : −500)
+    *
+    * `high_quality` = score_x1000 ≥ threshold. All arithmetic is Long and
+    * narrow (codegen'd built-ins over one row) — at 100 TB a free rider on
+    * the scan, like the battery itself. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Long = 2500): DataFrame = {
+    val f = gopherFilter(df, idCol, textCol)
+    val score =
+      lit(2L) * col("alpha_word_ratio_x1000") +
+      least(col("words").cast("long"), lit(1000L)) +
+      lit(200L) * least(col("gopher_stops"), lit(5L)) -
+      lit(5L) * col("symbol_ratio_x1000") -
+      lit(2L) * col("bullet_ratio_x1000") -
+      lit(2L) * col("ellipsis_ratio_x1000") +
+      when(col("mean_word_len_x100").between(300, 1000), lit(500L))
+        .otherwise(lit(-500L))
+    f.select(col(idCol), col("words"), col("alpha_word_ratio_x1000"),
+        col("gopher_stops"), score.as("quality_score_x1000"))
+      .withColumn("high_quality", col("quality_score_x1000") >= threshold)
   }
 }

@@ -191,7 +191,10 @@ object ExtractPipeline {
         // resume under a DIFFERENT bucket layout would both skip
         // never-processed rows and double-write others — refuse loudly
         if (ep.columns.contains("buckets")) {
-          val layouts = ep.select($"buckets").distinct().as[Int].collect()
+          // legacy rows (written before the column existed) read as null
+          // under mergeSchema: unknown layout, not layout 0 — skip them
+          val layouts = ep.select($"buckets").filter($"buckets".isNotNull)
+            .distinct().as[Int].collect()
           require(layouts.forall(_ == buckets),
             s"epoch $epoch was started with buckets=${layouts.mkString(",")}; " +
               s"resuming with buckets=$buckets would corrupt the output")
@@ -275,7 +278,12 @@ object TableIO {
   def readMetrics(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mergeSchema: a metrics store mixing pre-`buckets`-column rows with
+    // new ones must surface the union schema (buckets nullable), not
+    // whichever footer Spark samples — without it the layout guard either
+    // silently vanishes or crashes on null-to-Int decode (ADVICE r04)
     if (!fs.exists(p)) None
-    else try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
+    else try Some(spark.read.option("mergeSchema", "true").parquet(path))
+    catch { case _: Throwable => None }
   }
 }

@@ -437,4 +437,105 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out._2 == "chorus line repeats\nverse one\nverse two")
     assert(out._3 == 3 && out._4 == 2)
   }
+
+  test("paragraph-level dedup drops repeated paragraphs, keeps first occurrence") {
+    import spark.implicits._
+    val banner = "subscribe to our newsletter for updates"
+    val rows = Seq(
+      (1L, s"first article body\n\n$banner\n\nunique tail one"),
+      (2L, s"second article body\n\n$banner\n\nunique tail two"),
+      (3L, s"$banner"), // banner-only page: everything deduped away
+      (4L, "x\n\ny")    // short paragraphs below minParaChars: exempt
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphLevel(rows, "doc_id", "text", minParaChars = 4)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == s"first article body\n\n$banner\n\nunique tail one")
+    assert(out(2L)._2 == "second article body\n\nunique tail two")
+    assert(out(2L)._3 == 2 && out(2L)._4 == 1)
+    assert(out(3L)._2 == "" && out(3L)._4 == 1)
+    assert(out(4L)._2 == "x\n\ny" && out(4L)._4 == 0)
+  }
+
+  test("substring dedup removes non-first duplicated spans, keeps first") {
+    import spark.implicits._
+    // "one two three four" recurs in docs 0 and 1 (k=3 ⇒ grams
+    // one-two-three and two-three-four both duplicated): doc 0 keeps the
+    // span, doc 1 loses tokens 2..5 (covered by both grams' windows)
+    val rows = Seq(
+      (0L, "one two three four alpha beta gamma"),
+      (1L, "prefix tokens one two three four suffix"),
+      (2L, "totally unrelated words without any shared spans"),
+      (3L, "tiny doc") // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringLevel(rows, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "one two three four alpha beta gamma" && out(0L)._4 == 0)
+    assert(out(1L)._2 == "prefix tokens suffix")
+    assert(out(1L)._3 == 3 && out(1L)._4 == 4)
+    assert(out(2L)._4 == 0)
+    assert(out(3L)._2 == "tiny doc" && out(3L)._3 == 2 && out(3L)._4 == 0)
+  }
+
+  test("substring dedup: within-document repeats collapse to the first span") {
+    import spark.implicits._
+    val rows = Seq(
+      (5L, "la la la la different middle part la la la la"))
+      .toDF("doc_id", "text")
+    // k=4: "la la la la" (positions 0 and 7) — pos 0 survives, pos 7's
+    // window [7, 11) is removed; the overlapping gram starting at the
+    // SECOND la-run is itself a first occurrence only if its hash differs
+    val out = Dedup.substringLevel(rows, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out._2 == "la la la la different middle part")
+    assert(out._4 == 4)
+  }
+
+  test("connected components: reliable checkpoint path matches localCheckpoint") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    assert(reliable(5L) == 1L && reliable(11L) == 10L)
+    // the reliable path actually wrote checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no reliable checkpoint files under $dir")
+  }
+
+  test("dup n-gram stats: invariant under the hot/cold split point") {
+    import spark.implicits._
+    val docs = docsWithPlantedDups
+    val full = Dedup.dupNgramStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // hotShingles=1 forces almost everything through the cold tail;
+    // hotShingles huge forces everything through the broadcast — results
+    // must be identical (the split is an execution detail)
+    val cold = Dedup.dupNgramStats(docs, "doc_id", "text", hotShingles = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == cold)
+    // docs 0 and 1 are exact duplicates: every 3-gram duplicated
+    val byId = full.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 == byId(0L)._3, "exact-dup doc must be 100% duplicated grams")
+    assert(byId(0L)._4 == 10000L)
+  }
+
+  test("quality score: fixed linear weights, threshold labels") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat on the mat with some more readable english words " +
+        "that have enough alpha content to score well and be kept here"),
+      (2L, "#### #### #### #### #### #### #### #### #### ####") // symbol soup
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(rows, "doc_id", "text", threshold = 2000)
+      .select($"doc_id", $"quality_score_x1000", $"high_quality")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3, s"readable doc must pass: score=${out(1L)._2}")
+    assert(!out(2L)._3, s"symbol soup must fail: score=${out(2L)._2}")
+    assert(out(1L)._2 > out(2L)._2)
+  }
 }

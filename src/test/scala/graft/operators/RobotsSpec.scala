@@ -196,6 +196,17 @@ class RobotsSpec extends AnyFunSuite {
     checkFilter((p, r) => Robots.filterAllowedJoin(p, r, "graftbot", saltBuckets = 4))
   }
 
+  test("Spark filter (size-guard auto-fallback): oversize robots set takes the join path") {
+    // 3 robots rows > maxBroadcastHosts=1 → filterAllowed must fall back
+    // to the join variant instead of collecting (ADVICE r04 driver-OOM
+    // guard) — and produce identical results
+    checkFilter((p, r) => Robots.filterAllowed(p, r, "graftbot",
+      maxBroadcastHosts = 1))
+    // byte guard triggers the same fallback
+    checkFilter((p, r) => Robots.filterAllowed(p, r, "graftbot",
+      maxBroadcastBytes = 8))
+  }
+
   test("sitemap directives: case-insensitive, comments, dedupe, order, null") {
     assert(Robots.sitemapDirectives(null) == Nil)
     assert(Robots.sitemapDirectives("User-agent: *\nDisallow: /\n") == Nil)

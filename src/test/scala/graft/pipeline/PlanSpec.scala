@@ -116,6 +116,13 @@ class PlanSpec extends AnyFunSuite {
       s"broadcast robots gate must be a narrow pass:\n$plan")
     assert(!plan.contains("hashpartitioning(__host"),
       s"raw-host hash partitioning is the r03 skew-killer:\n$plan")
+    // VERDICT r04 #1: the gate must read ONLY the url column through the
+    // native predicate — a typed Row filter deserializes every corpus
+    // column (html payload included) and breaks whole-stage codegen
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      s"robots gate inserts a serialization boundary on the corpus branch:\n$plan")
+    assert(plan.contains("robots_allowed"),
+      s"native robots_allowed predicate missing from the plan:\n$plan")
   }
 
   test("robots join path salts the host key (no raw-host exchange)") {
@@ -293,6 +300,55 @@ class PlanSpec extends AnyFunSuite {
       assert(w.partitionSpec.nonEmpty,
         s"unpartitioned window = whole corpus in ONE task at 100 TB:\n$w")
     }
+  }
+
+  test("dup n-gram stats: hot duplicated shingles ride a broadcast semi-join (VERDICT r04 #2)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = planOf(graft.operators.Dedup.dupNgramStats(docs, "doc_id", "text"))
+    // the Zipf-hot duplicated shingles must match through a BROADCAST
+    // LeftSemi (hits) — and the probe side of the cold tail must be
+    // broadcast-anti-filtered so hot keys never enter a shuffle
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"hot-shingle hits must be a broadcast semi-join:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"cold probe side must be broadcast-anti-filtered of hot keys:\n$plan")
+    // the doc-frequency aggregate keeps map-side combine (partial + final)
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation for shingle doc frequency:\n$plan")
+    // document text itself never crosses any exchange (hash explode only)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = graft.operators.Dedup.dupNgramStats(docs, "doc_id", "text")
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      val textBearing = exchanges.filter(_.output.exists(_.name == "text"))
+      assert(textBearing.isEmpty,
+        s"corpus text crosses an exchange in dupNgramStats:\n${textBearing.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("substring dedup: text crosses at most one exchange, grams shuffle as hashes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try {
+        graft.operators.Dedup.substringLevel(docs, "doc_id", "text", k = 3)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(exchanges.nonEmpty, "expected shuffles in substring dedup")
+    val textBearing = exchanges.filter(_.output.exists(_.name == "text"))
+    assert(textBearing.size <= 1,
+      s"document text crosses ${textBearing.size} exchanges (want ≤1 — the " +
+        s"drop-set join back to intact docs):\n${textBearing.mkString("\n")}")
   }
 
   test("line-level dedup: exploded lines never shuffle, doc text crosses at most one exchange") {
