@@ -208,6 +208,16 @@ object SparkEntry {
           col("lines_dropped").cast("long").as("lines_dropped"))
         .orderBy("doc_id")
     }),
+    "e2e_pipeline" -> ((s, dir) => {
+      // THE COMPOSED END-TO-END TRAINING-DATA JOB (VERDICT r04 #1): WARC
+      // fixtures → WarcSource.read → robots gate → salted extract → gopher
+      // + corpus-likelihood gates → line-level dedup → MinHash-LSH +
+      // connected components → decontamination → mixture sampling → chunk
+      // plan → WET sink roundtrip. The oracle forward-models the ENTIRE
+      // chain: surviving doc set, post-dedup text (byte-identical through
+      // the WET write/read), token counts, global chunk offsets.
+      graft.pipeline.E2EPipeline.verified(s, dir).orderBy("doc_id")
+    }),
     "dedup_paragraphs" -> ((s, dir) => {
       // CCNet hashed-paragraph dedup: the single-line corpus becomes
       // multi-paragraph deterministically (every space → blank-line
@@ -795,6 +805,80 @@ object SparkEntry {
         |  coalesce(dn.dropped_n, 0) AS lines_dropped
         |FROM d LEFT JOIN outv USING (doc_id) LEFT JOIN dn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // The composed pipeline, forward-modeled stage by stage (each CTE block
+    // reuses the already-proven oracle formulation of its operator):
+    // planted = near-dup fixture; ext = extraction model; adm = RFC 9309
+    // admission; gop = gopher battery (minWords=25, stops>=0); lmsc/lmk =
+    // corpus likelihood <= 27500; ld = line dedup; prs = exact-Jaccard
+    // pairs >= 0.8 over post-dedup shingles; reach/comp = connected
+    // components (keep cluster min); s8/bg/hits = k=8 decontamination vs
+    // the %53 bench docs; mix = LCG mixture sampling; chunk plan cumsum.
+    "e2e_pipeline" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN b.doc_id IS NOT NULL THEN b.text ||
+        |      (CASE WHEN d.doc_id % 101 = 99 THEN ' duplicateone' ELSE ' duplicatetwo' END)
+        |    ELSE d.text END AS text0, d.source
+        |  FROM documents d
+        |  LEFT JOIN documents b
+        |    ON b.doc_id = d.doc_id - (CASE WHEN d.doc_id % 101 = 99 THEN 1
+        |                                   WHEN d.doc_id % 101 = 100 THEN 2 END)
+        |   AND len(string_split(b.text, ' ')) >= 40),
+        |ext AS (SELECT doc_id, source,
+        |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  text0 || chr(10) || 'Subscribe to the newsletter today' AS t FROM planted),
+        |adm AS (SELECT * FROM ext WHERE NOT (
+        |   (doc_id % 10 < 3 AND CAST(doc_id AS VARCHAR) LIKE '%7')
+        |   OR (doc_id % 10 >= 3 AND (doc_id % 97) % 4 = 0))),
+        |gw AS (SELECT doc_id, source, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0) AS w,
+        |    string_split(t, chr(10)) AS ln FROM adm),
+        |gop AS (SELECT doc_id, source, t FROM gw WHERE
+        |    len(w) BETWEEN 25 AND 100000
+        |    AND floor(length(regexp_replace(t, '\s', '', 'g')) * 100 / greatest(len(w),1)) BETWEEN 300 AND 1000
+        |    AND floor(len(regexp_extract_all(t, '#|…|\.\.\.')) * 1000 / greatest(len(w),1)) <= 100
+        |    AND floor(len(list_filter(ln, l -> starts_with(trim(l),'•') OR starts_with(trim(l),'- '))) * 1000 / greatest(len(ln),1)) <= 900
+        |    AND floor(len(list_filter(ln, l -> ends_with(trim(l),'...') OR ends_with(trim(l),'…'))) * 1000 / greatest(len(ln),1)) <= 300
+        |    AND floor(len(list_filter(w, x -> regexp_matches(x,'[A-Za-z]'))) * 1000 / greatest(len(w),1)) >= 800),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0)) AS w FROM gop),
+        |cnts AS (SELECT w, count(*) c FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) n FROM tok),
+        |lmsc AS (SELECT doc_id, CAST(sum(c * 1000000 // n) // count(*) AS BIGINT) AS score
+        |       FROM tok JOIN cnts USING (w) CROSS JOIN tot GROUP BY doc_id),
+        |lmk AS (SELECT g.* FROM gop g JOIN lmsc USING (doc_id) WHERE lmsc.score <= 27500),
+        |arr AS (SELECT doc_id, source, t, string_split(t, chr(10)) AS a FROM lmk),
+        |ln2 AS (SELECT doc_id, unnest(list_transform(range(len(a)), i -> struct_pack(idx := i, line := a[i+1]))) AS e FROM arr),
+        |l AS (SELECT doc_id, e.idx idx, e.line line FROM ln2),
+        |rk AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) rn,
+        |       count(*) OVER (PARTITION BY line) cnt FROM l WHERE len(line) >= 1),
+        |drops AS (SELECT doc_id, idx FROM rk WHERE cnt > 1 AND rn > 1),
+        |kept AS (SELECT l.doc_id, l.idx, l.line FROM l ANTI JOIN drops USING (doc_id, idx)),
+        |ld AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS t2 FROM kept GROUP BY doc_id),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(len(w2) - 2), i -> w2[i+1]||w2[i+2]||w2[i+3])) AS sh
+        |      FROM (SELECT doc_id, string_split(t2, ' ') AS w2 FROM ld) WHERE len(w2) >= 3),
+        |oc AS (SELECT doc_id, unnest(sh) g FROM s),
+        |cand AS (SELECT a.doc_id id1, b.doc_id id2, count(*) inter FROM oc a JOIN oc b ON a.g = b.g AND b.doc_id > a.doc_id GROUP BY 1,2),
+        |p AS (SELECT id1, id2, inter, len(sa.sh)+len(sb.sh)-inter AS uni FROM cand JOIN s sa ON sa.doc_id=id1 JOIN s sb ON sb.doc_id=id2),
+        |prs AS (SELECT id1, id2 FROM p WHERE 5*inter >= 4*uni),
+        |edges AS (SELECT id1 src, id2 dst FROM prs UNION SELECT id2, id1 FROM prs),
+        |reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e3.dst, reach.r FROM reach JOIN edges e3 ON e3.src = reach.id),
+        |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |dup_drop AS (SELECT id AS doc_id FROM comp WHERE id <> cluster),
+        |uniq AS (SELECT ld.* FROM ld ANTI JOIN dup_drop USING (doc_id)),
+        |u8 AS (SELECT doc_id, string_split(t2, ' ') AS w8 FROM uniq),
+        |s8 AS (SELECT doc_id, CASE WHEN len(w8) >= 8 THEN list_distinct(list_transform(range(len(w8)-7),
+        |         i -> w8[i+1]||w8[i+2]||w8[i+3]||w8[i+4]||w8[i+5]||w8[i+6]||w8[i+7]||w8[i+8])) ELSE CAST([] AS VARCHAR[]) END AS sh8 FROM u8),
+        |bg AS (SELECT DISTINCT unnest(sh8) g FROM s8 WHERE doc_id % 53 = 0),
+        |hits AS (SELECT DISTINCT e4.doc_id FROM (SELECT doc_id, unnest(sh8) g FROM s8) e4 JOIN bg USING (g)),
+        |clean AS (SELECT uniq.* FROM uniq ANTI JOIN hits USING (doc_id)),
+        |mix AS (SELECT c.doc_id, c.t2 FROM clean c JOIN documents d USING (doc_id)
+        |        WHERE ((c.doc_id * 1103515245 + 12345) % 2147483648) % 1000000 <
+        |          CAST(1000000 * (CASE d.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.125 END) AS BIGINT)),
+        |ck AS (SELECT doc_id, t2, len(list_filter(string_split_regex(t2, '\s+'), x -> length(x) > 0)) AS tokens FROM mix)
+        |SELECT doc_id, t2 AS text, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(ceil(tokens / 64.0) AS BIGINT) AS chunks,
+        |  CAST(coalesce(sum(CAST(ceil(tokens / 64.0) AS BIGINT)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_start
+        |FROM ck ORDER BY doc_id""".stripMargin,
     "dedup_paragraphs" ->
       """WITH d AS (SELECT doc_id, replace(text, ' ', chr(10) || chr(10)) AS text FROM documents),
         |arr AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS a FROM d),

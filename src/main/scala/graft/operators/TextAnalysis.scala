@@ -205,15 +205,14 @@ object TextAnalysis {
     * `pass` is the conjunction. All built-ins, codegen'd, narrow — at
     * 100 TB this is a free rider on whatever scan already touches the
     * text. */
-  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
-                   minWords: Int = 50, maxWords: Int = 100000,
-                   minMeanWordLenX100: Int = 300, maxMeanWordLenX100: Int = 1000,
-                   maxSymbolRatioX1000: Int = 100,
-                   maxBulletRatioX1000: Int = 900,
-                   maxEllipsisRatioX1000: Int = 300,
-                   minAlphaWordRatioX1000: Int = 800,
-                   minRequiredStops: Int = 2): DataFrame = {
-    val t = col(textCol)
+  /** The battery's feature columns over one text column — shared by
+    * [[gopherFilter]] (report per rule) and [[gopherPass]] (single boolean
+    * for inline gating). */
+  private final case class GopherFeatures(words: Column, meanLen: Column,
+      symbolRatio: Column, bulletRatio: Column, ellipsisRatio: Column,
+      alphaRatio: Column, stops: Column)
+
+  private def gopherFeatures(t: Column): GopherFeatures = {
     // tokensOf, not split(trim(...)): trim strips only spaces, so text
     // bracketed by tabs/newlines would yield phantom empty words, skewing
     // words / mean_word_len / alpha_word_ratio vs the Gopher paper
@@ -234,14 +233,54 @@ object TextAnalysis {
     val stops = requiredStops
       .map(s => when(array_contains(words, s), 1).otherwise(0))
       .reduce(_ + _)
+    GopherFeatures(size(words), meanLen.cast("long"),
+      floor(symbols * 1000 / nWords).cast("long"),
+      floor(bullets * 1000 / nLines).cast("long"),
+      floor(ellipses * 1000 / nLines).cast("long"),
+      floor(alphaWords * 1000 / nWords).cast("long"),
+      stops.cast("long"))
+  }
+
+  /** The battery verdict as ONE narrow boolean column — for gating a text
+    * stream in place (`df.filter(gopherPass(col("text"), ...))`) without a
+    * feature projection + id join-back: composed pipelines keep the text
+    * flowing through zero additional exchanges. Identical rules and
+    * arithmetic to [[gopherFilter]]'s `pass`. */
+  def gopherPass(t: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanWordLenX100: Int = 300, maxMeanWordLenX100: Int = 1000,
+                 maxSymbolRatioX1000: Int = 100,
+                 maxBulletRatioX1000: Int = 900,
+                 maxEllipsisRatioX1000: Int = 300,
+                 minAlphaWordRatioX1000: Int = 800,
+                 minRequiredStops: Int = 2): Column = {
+    val f = gopherFeatures(t)
+    f.words.between(minWords, maxWords) &&
+      f.meanLen.between(minMeanWordLenX100, maxMeanWordLenX100) &&
+      f.symbolRatio <= maxSymbolRatioX1000 &&
+      f.bulletRatio <= maxBulletRatioX1000 &&
+      f.ellipsisRatio <= maxEllipsisRatioX1000 &&
+      f.alphaRatio >= minAlphaWordRatioX1000 &&
+      f.stops >= minRequiredStops
+  }
+
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLenX100: Int = 300, maxMeanWordLenX100: Int = 1000,
+                   maxSymbolRatioX1000: Int = 100,
+                   maxBulletRatioX1000: Int = 900,
+                   maxEllipsisRatioX1000: Int = 300,
+                   minAlphaWordRatioX1000: Int = 800,
+                   minRequiredStops: Int = 2): DataFrame = {
+    val f = gopherFeatures(col(textCol))
     df.select(col(idCol),
-        size(words).as("words"),
-        meanLen.cast("long").as("mean_word_len_x100"),
-        floor(symbols * 1000 / nWords).cast("long").as("symbol_ratio_x1000"),
-        floor(bullets * 1000 / nLines).cast("long").as("bullet_ratio_x1000"),
-        floor(ellipses * 1000 / nLines).cast("long").as("ellipsis_ratio_x1000"),
-        floor(alphaWords * 1000 / nWords).cast("long").as("alpha_word_ratio_x1000"),
-        stops.cast("long").as("gopher_stops"))
+        f.words.as("words"),
+        f.meanLen.as("mean_word_len_x100"),
+        f.symbolRatio.as("symbol_ratio_x1000"),
+        f.bulletRatio.as("bullet_ratio_x1000"),
+        f.ellipsisRatio.as("ellipsis_ratio_x1000"),
+        f.alphaRatio.as("alpha_word_ratio_x1000"),
+        f.stops.as("gopher_stops"))
       .withColumn("pass",
         col("words").between(minWords, maxWords) &&
         col("mean_word_len_x100").between(minMeanWordLenX100, maxMeanWordLenX100) &&

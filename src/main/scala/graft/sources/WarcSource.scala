@@ -55,49 +55,67 @@ object WarcSource {
     out.result()
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** Read `.warc.wet(.gz)` segments back as (url, warc_ts, text) — the
+    * inverse of [[WetSink.write]]: same streamed, file-per-task model as
+    * [[read]] but keeping CONVERSION records, whose payload is the
+    * UTF-8 extracted text. */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    streamRecords(spark, path) { recs =>
+      recs.collect {
+        case r if r.warcType == "conversion" =>
+          (r.targetUri, parseTs(r.date), new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toDF("url", "warc_ts", "text")
+  }
+
+  /** Shared streaming scaffold: one task per segment file, gzip-sniffed,
+    * Inflater-safe close on exhaustion AND task completion. */
+  private def streamRecords[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, path: String)(
+      select: Iterator[WarcRecord] => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val paths = listSegments(spark, path)
-    // exactly one partition per segment file, no shuffle — file-level
-    // parallelism is the unit of work for non-splittable archives
     val files = spark.createDataset(
-      spark.sparkContext.parallelize(paths, math.max(paths.size, 1)))
-    files
-      .mapPartitions { it =>
-        it.flatMap { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val fs = hp.getFileSystem(conf.value)
-          val raw = fs.open(hp)
-          val pb = new java.io.PushbackInputStream(
-            new java.io.BufferedInputStream(raw, 1 << 16), 2)
-          val b0 = pb.read(); val b1 = pb.read()
-          if (b1 >= 0) pb.unread(b1)
-          if (b0 >= 0) pb.unread(b0)
-          val in: java.io.InputStream =
-            if (b0 == 0x1F && b1 == 0x8B) new java.util.zip.GZIPInputStream(pb)
-            else pb
-          // close the OUTER stream (cascades to raw): GZIPInputStream holds a
-          // native Inflater that is only freed by close()/end() — closing raw
-          // alone leaks zlib memory until GC on long-lived executors
-          def closeAll(): Unit = try in.close() catch { case _: java.io.IOException => () }
-          val tc = org.apache.spark.TaskContext.get()
-          if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
-          val recs = Warc.records(in).collect {
-            case r if r.warcType == "response" =>
-              (r.targetUri, parseTs(r.date), Warc.htmlPayload(r))
+      spark.sparkContext.parallelize(paths, math.max(paths.size, 1)))(
+      org.apache.spark.sql.Encoders.STRING)
+    files.mapPartitions { it =>
+      it.flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf.value)
+        val raw = fs.open(hp)
+        val pb = new java.io.PushbackInputStream(
+          new java.io.BufferedInputStream(raw, 1 << 16), 2)
+        val b0 = pb.read(); val b1 = pb.read()
+        if (b1 >= 0) pb.unread(b1)
+        if (b0 >= 0) pb.unread(b0)
+        val in: java.io.InputStream =
+          if (b0 == 0x1F && b1 == 0x8B) new java.util.zip.GZIPInputStream(pb)
+          else pb
+        def closeAll(): Unit = try in.close() catch { case _: java.io.IOException => () }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
+        val recs = select(Warc.records(in))
+        new Iterator[T] {
+          override def hasNext: Boolean = {
+            val h = recs.hasNext
+            if (!h) closeAll()
+            h
           }
-          new Iterator[(String, java.sql.Timestamp, Array[Byte])] {
-            override def hasNext: Boolean = {
-              val h = recs.hasNext
-              if (!h) closeAll()
-              h
-            }
-            override def next(): (String, java.sql.Timestamp, Array[Byte]) = recs.next()
-          }
+          override def next(): T = recs.next()
         }
       }
-      .toDF("url", "warc_ts", "html")
+    }
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    streamRecords(spark, path) { recs =>
+      recs.collect {
+        case r if r.warcType == "response" =>
+          (r.targetUri, parseTs(r.date), Warc.htmlPayload(r))
+      }
+    }.toDF("url", "warc_ts", "html")
   }
 }

@@ -302,6 +302,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("composed e2e job: corpus text/html crosses at most two exchanges pre-sink (VERDICT r04 #1)") {
+    import spark.implicits._
+    // tiny deterministic fixture (ids shaped to hit every gate class)
+    val docs = (0L until 120L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 7 + j * 3) % 19}").mkString(" "),
+        s"src${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val work = Files.createTempDirectory("graft-e2e-plan").toString
+    graft.pipeline.E2EPipeline.writeWarcSegments(spark, docs, s"$work/warc", segments = 4)
+    def corpusExchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(a => a.name == "text" || a.name == "html") => e
+      }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the discipline the composed job exists to prove: corpus bytes cross
+      // the wire exactly twice up to the stage-boundary materialization
+      // (bucket salt + ONE doc_id partitioning)...
+      var boundary = -1
+      val surv = graft.pipeline.E2EPipeline.survivors(spark, s"$work/warc",
+        graft.pipeline.E2EPipeline.robotsTable(spark),
+        docs.select(col("doc_id"), col("source")), lmCut = 1000000000L,
+        materialize = df => {
+          boundary = corpusExchanges(df).size
+          df.localCheckpoint(true)
+        })
+      assert(boundary >= 0 && boundary <= 2,
+        s"extract stage moves corpus text/html through $boundary exchanges (want ≤2)")
+      // ...and NEVER again: every id-keyed verdict stage downstream reuses
+      // the snapshot's doc_id partitioning, so only verdict/drop-list rows
+      // shuffle after the boundary
+      val post = corpusExchanges(surv)
+      assert(post.isEmpty,
+        s"corpus text crosses ${post.size} exchanges after the stage " +
+          s"boundary (want 0):\n${post.mkString("\n\n")}")
+      assert(surv.count() > 0, "composed job must keep survivors on this fixture")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("dup n-gram stats: hot duplicated shingles ride a broadcast semi-join (VERDICT r04 #2)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))

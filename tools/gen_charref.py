@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Spec-oracle generator: character-reference tokenization battery.
+
+Independent Python implementation of the WHATWG "character reference
+state" (data, RCDATA and attribute-value return states), driven by the
+FULL spec entity table (src/main/resources/graft/entities.tsv — 2,231
+entries incl. the no-semicolon legacy names), generating the complete
+missing-semicolon x context x follower matrix plus the numeric C1-remap /
+surrogate / overflow / no-digit edge battery that the reference documents
+around Tokenizer.cs:3505-3511 ("&notit;" -> "¬it;", "&notin;" -> "∉").
+
+Rules implemented here, independently of the engine:
+  - longest-prefix match over the table (names stored with and without
+    semicolon; an input without the semicolon can only match the legacy
+    no-semicolon names, so "&notin" matches "not", not "notin;")
+  - ATTRIBUTE legacy suppression: a matched name NOT ending in ';'
+    followed by [A-Za-z0-9] or '=' is flushed verbatim (no decode) in
+    attribute values; in data/RCDATA it decodes with a parse error
+  - numeric: missing semicolon still decodes; C1 0x80-0x9F remapped per
+    the spec table (0x81/0x8D/0x8F/0x90/0x9D pass through); 0, surrogates
+    and > 0x10FFFF -> U+FFFD; value accumulation saturates (overflow ->
+    U+FFFD); "&#"/"&#x" with no digits flush verbatim
+  - bare '&' followed by anything that can't start a reference stays '&'
+
+Output: html5lib tree-construction .dat cases (charref-gen.dat).
+Engine-vs-generator disagreement is a real finding on ONE side;
+adjudicate by spec text (SURVEY.md records adjudications).
+"""
+import sys, os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TSV = os.path.join(HERE, "..", "src", "main", "resources", "graft", "entities.tsv")
+
+ENT = {}
+with open(TSV, encoding="utf-8") as f:
+    for line in f:
+        name, cps = line.rstrip("\n").split("\t")
+        ENT[name] = "".join(chr(int(c, 16)) for c in cps.split(" "))
+MAXLEN = max(len(n) for n in ENT)
+
+C1 = {0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+      0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+      0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+      0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+      0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+      0x9E: 0x017E, 0x9F: 0x0178}
+
+
+def numeric_char(v):
+    if v == 0 or v > 0x10FFFF or 0xD800 <= v <= 0xDFFF:
+        return "�"
+    return chr(C1.get(v, v))
+
+
+def char_ref(s, i, in_attr):
+    """s[i] == '&'. Returns (decoded_text, next_index)."""
+    n = len(s)
+    j = i + 1
+    if j < n and s[j] == "#":
+        j += 1
+        hexmode = j < n and s[j] in "xX"
+        if hexmode:
+            j += 1
+        digits = ""
+        while j < n and (s[j].isdigit() or (hexmode and s[j].lower() in "abcdef")):
+            digits += s[j]
+            j += 1
+        if not digits:
+            return (s[i:j], j)  # absence-of-digits: flush verbatim
+        v = int(digits, 16 if hexmode else 10)
+        if v > 0x7FFFFFFF:
+            v = 0x110000  # saturate like a clamped accumulator
+        if j < n and s[j] == ";":
+            j += 1
+        return (numeric_char(v), j)
+    # named: longest table name that is a prefix of the remaining input
+    best = None
+    for ln in range(min(MAXLEN, n - j), 0, -1):
+        cand = s[j:j + ln]
+        if cand in ENT:
+            best = cand
+            break
+    if best is None:
+        return ("&", i + 1)
+    end = j + len(best)
+    if not best.endswith(";") and in_attr and end < n and (s[end].isalnum() or s[end] == "="):
+        return (s[i:end], end)  # attribute legacy suppression
+    return (ENT[best], end)
+
+
+def decode(s, in_attr):
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "&":
+            t, i = char_ref(s, i, in_attr)
+            out.append(t)
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+cases = []
+
+
+def data_case(payload):
+    text = decode(payload, in_attr=False)
+    tree = ["| <html>", "|   <head>", "|   <body>", "|     <p>"]
+    if text:
+        tree.append('|       "%s"' % text)
+    cases.append(("<p>%s</p>" % payload, "\n".join(tree)))
+
+
+def attr_case(payload):
+    val = decode(payload, in_attr=True)
+    tree = ["| <html>", "|   <head>", "|   <body>", "|     <div>",
+            '|       t="%s"' % val, '|       "x"']
+    cases.append(('<div t="%s">x</div>' % payload, "\n".join(tree)))
+
+
+def rcdata_case(payload):
+    text = decode(payload, in_attr=False)
+    tree = ["| <html>", "|   <head>", "|   <body>", "|     <textarea>"]
+    if text:
+        tree.append('|       "%s"' % text)
+    cases.append(("<textarea>%s</textarea>" % payload, "\n".join(tree)))
+
+
+# ---- named-entity matrix: legacy (no-semicolon form in table) stems,
+# semicolon-only stems, x followers {end, alnum, digit, '=', space, ';'-form}
+LEGACY = ["not", "amp", "lt", "gt", "copy", "cent", "pound", "yen", "sect",
+          "para", "times", "divide", "AElig", "Aacute", "ccedil", "nbsp",
+          "reg", "curren", "frac12", "iquest", "eth", "THORN", "aelig",
+          "oslash", "uuml", "AMP", "COPY"]
+SEMI_ONLY = ["notin", "lambda", "alpha", "bull", "hellip", "dagger",
+             "permil", "euro", "trade", "forall", "exist", "nabla", "isin",
+             "prod", "sum", "minus", "radic", "infin", "oplus", "starf"]
+for stem in LEGACY:
+    assert stem in ENT and (stem + ";") in ENT, stem
+    for form in ("&%s;" % stem, "&%s" % stem):
+        for follow in ("", "it", "9", "=", " y"):
+            payload = form + follow
+            data_case(payload)
+            attr_case(payload)
+for stem in SEMI_ONLY:
+    assert stem not in ENT and (stem + ";") in ENT, stem
+    data_case("&%s; t" % stem)
+    data_case("&%s t" % stem)   # falls back to a shorter legacy prefix or '&'
+    attr_case("&%s; t" % stem)
+    attr_case("&%s t" % stem)
+
+# ---- RCDATA context (char refs active; markup is not)
+for payload in ["&not;in", "&notin", "&notin;", "&amp", "&ampx", "&#65;",
+                "&#x80;", "&xyz;", "&"]:
+    rcdata_case(payload)
+
+# ---- numeric battery: every C1 remap (dec + hex), the 5 pass-through C1,
+# boundaries, surrogates, overflow, no-digit flushes, follower variants
+for cp, mapped in sorted(C1.items()):
+    data_case("a&#%d;b" % cp)
+    data_case("a&#x%X;b" % cp)
+    attr_case("a&#x%x;b" % cp)
+for cp in (0x81, 0x8D, 0x8F, 0x90, 0x9D):  # unremapped C1: pass through
+    data_case("p&#x%X;q" % cp)
+for payload in ["&#0;", "&#9;", "&#10;", "&#65;", "&#x41;", "&#X41;",
+                "&#x00041;", "&#0000000065;", "&#xD7FF;", "&#xD800;",
+                "&#xDFFF;", "&#xE000;", "&#x10FFFF;", "&#x110000;",
+                "&#999999999;", "&#99999999999999999999;",
+                "&#xFFFFFFFFFFFFFFFFF;", "&#65", "&#65x", "&#x41x",
+                "&#", "&#;", "&#x", "&#x;", "&#xG;"]:
+    data_case("L%sR" % payload)
+    attr_case("L%sR" % payload)
+
+# ---- ambiguous / bare ampersands
+for payload in ["&", "&&", "& x", "&;", "&x;", "&xyz;", "&#helloworld",
+                "&&amp;&", "a&b=c", "&fake;&not&fake;"]:
+    data_case(payload)
+    attr_case(payload)
+
+out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    HERE, "..", "src", "test", "resources", "tree-construction", "charref-gen.dat")
+with open(out, "w", encoding="utf-8") as f:
+    for data, tree in cases:
+        f.write("#data\n%s\n#errors\n(x)\n#document\n%s\n\n" % (data, tree))
+print("wrote %d cases to %s" % (len(cases), out))
