@@ -267,7 +267,10 @@ object Dedup {
     * occurrences shuffle as (hash2, id, idx) ≈ 28 B/line for the
     * first-occurrence aggregate (map-side partial agg collapses the
     * boilerplate-heavy tail), the drop-list join carries ids and indexes
-    * only, and the per-doc drop sets join back to the INTACT docs table on
+    * only AND is frequency-split ([[dupOccurrences]]): the `hotKeys` most
+    * duplicated lines — the cookie-banner class, millions of occurrences
+    * per key — match through a broadcast instead of a hot-keyed shuffle,
+    * and the per-doc drop sets join back to the INTACT docs table on
     * id — the text is never exploded across an exchange; line removal is a
     * narrow per-row array filter. A groupBy-reassembly of exploded lines
     * (the obvious formulation) would shuffle the corpus text twice instead.
@@ -278,8 +281,8 @@ object Dedup {
     * Returns (id, text, lines_kept, lines_dropped) with `text` rebuilt from
     * the surviving lines in original order. */
   def lineLevel(docs: DataFrame, idCol: String, textCol: String,
-                minLineChars: Int = 1): DataFrame =
-    unitLevel(docs, idCol, textCol, minLineChars, "\n", "lines")
+                minLineChars: Int = 1, hotKeys: Int = 65536): DataFrame =
+    unitLevel(docs, idCol, textCol, minLineChars, "\n", "lines", hotKeys)
 
   /** CCNet-style hashed-PARAGRAPH dedup: identical to [[lineLevel]] but the
     * dedup unit is a blank-line-separated paragraph (split on "\n\n") — the
@@ -287,14 +290,35 @@ object Dedup {
     * dedup pass. Same single-text-exchange shape; returns
     * (id, text, paras_kept, paras_dropped). */
   def paragraphLevel(docs: DataFrame, idCol: String, textCol: String,
-                     minParaChars: Int = 1): DataFrame =
-    unitLevel(docs, idCol, textCol, minParaChars, "\n\n", "paras")
+                     minParaChars: Int = 1, hotKeys: Int = 65536): DataFrame =
+    unitLevel(docs, idCol, textCol, minParaChars, "\n\n", "paras", hotKeys)
+
+  /** FREQUENCY-SPLIT occurrence ⋈ duplicated-firsts join, shared by the
+    * unit-level and substring-level dedup paths: the `hotKeys` most
+    * duplicated keys (THE boilerplate — a cookie banner occurring on 10⁹
+    * pages is one join key) ride a broadcast, so no task ever owns a hot
+    * key's full occurrence list; the tail joins with no heavy key by
+    * construction (occurrences are broadcast-anti-filtered of the hot
+    * keys before the exchange). Same pattern as [[dupNgramStats]] /
+    * [[TextAnalysis.unigramLikelihood]]. The split is an execution
+    * detail — results are identical for any hotKeys ≥ 0. */
+  private def dupOccurrences(occ: DataFrame, firsts: DataFrame,
+                             keys: Seq[String], hotKeys: Int): DataFrame = {
+    val hot = firsts.orderBy(col("cnt").desc +: keys.map(col): _*)
+      .limit(hotKeys)
+    val hotKeysOnly = hot.select(keys.map(col): _*)
+    val hotJ = occ.join(broadcast(hot), keys)
+    val coldJ = occ.join(broadcast(hotKeysOnly), keys, "left_anti")
+      .join(firsts.join(broadcast(hotKeysOnly), keys, "left_anti"), keys)
+    hotJ.unionByName(coldJ)
+  }
 
   /** Shared engine for [[lineLevel]] / [[paragraphLevel]]: `sep` is both
     * the split regex and the rejoin literal (keep them trivially identical
     * — "\n", "\n\n"). */
   private def unitLevel(docs: DataFrame, idCol: String, textCol: String,
-                        minChars: Int, sep: String, unit: String): DataFrame = {
+                        minChars: Int, sep: String, unit: String,
+                        hotKeys: Int = 65536): DataFrame = {
     val units = docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), sep, -1)).as(Seq("idx", "u")))
       .filter(length(col("u")) >= minChars)
@@ -304,7 +328,7 @@ object Dedup {
       .agg(min(struct(col("id"), col("idx"))).as("first"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-    val dropSets = units.join(firsts, Seq("h1", "h2"))
+    val dropSets = dupOccurrences(units, firsts, Seq("h1", "h2"), hotKeys)
       .filter(struct(col("id"), col("idx")) =!= col("first"))
       .groupBy("id").agg(collect_set(col("idx")).as("drop_idx"))
       .withColumnRenamed("id", "__ll_id") // callers may name their id col "id"
@@ -354,7 +378,7 @@ object Dedup {
     * from surviving tokens (single-space joined — the kernel's
     * tokenization, [[Sketch.splitSpace]]). */
   def substringLevel(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 50): DataFrame = {
+                     k: Int = 50, hotKeys: Int = 65536): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val grams = docs.select(col(idCol).as("id"),
       posexplode(SketchFunctions.word_shingles_pos(col(textCol), k))
@@ -363,7 +387,7 @@ object Dedup {
       .agg(min(struct(col("id"), col("pos"))).as("first"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-    val dropSets = grams.join(firsts, Seq("h"))
+    val dropSets = dupOccurrences(grams, firsts, Seq("h"), hotKeys)
       .filter(struct(col("id"), col("pos")) =!= col("first"))
       .groupBy("id").agg(collect_set(col("pos")).as("drop_pos"))
       .withColumnRenamed("id", "__sl_id")

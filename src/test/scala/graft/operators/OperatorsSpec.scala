@@ -524,6 +524,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byId(0L)._4 == 10000L)
   }
 
+  test("line/substring dedup: invariant under the hot/cold split point") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "banner here\nbody one\nbanner here"),
+      (2L, "banner here\nbody two"),
+      (3L, "body one\nbody three\nbanner here"),
+      (4L, "unique only")).toDF("doc_id", "text")
+    val a = Dedup.lineLevel(rows, "doc_id", "text")
+      .as[(Long, String, Int, Int)].collect().toSet
+    val b = Dedup.lineLevel(rows, "doc_id", "text", hotKeys = 1)
+      .as[(Long, String, Int, Int)].collect().toSet
+    val c = Dedup.lineLevel(rows, "doc_id", "text", hotKeys = 0)
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(a == b && b == c, s"split changed results:\n$a\n$b\n$c")
+    val s1 = Dedup.substringLevel(rows.withColumn("text",
+        regexp_replace(col("text"), "\n", " ")), "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val s2 = Dedup.substringLevel(rows.withColumn("text",
+        regexp_replace(col("text"), "\n", " ")), "doc_id", "text", k = 2,
+        hotKeys = 1)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(s1 == s2, s"substring split changed results:\n$s1\n$s2")
+  }
+
   test("quality score: fixed linear weights, threshold labels") {
     import spark.implicits._
     val rows = Seq(

@@ -407,7 +407,13 @@ class PlanSpec extends AnyFunSuite {
         }
       } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
     assert(exchanges.nonEmpty, "expected shuffles in line dedup")
-    val lineBearing = exchanges.filter(_.output.exists(_.name == "line"))
+    // r5: the drop-list join is frequency-split — hot duplicated lines
+    // (the 10⁹-occurrence cookie-banner class) match via broadcast
+    val plan = graft.operators.Dedup.lineLevel(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot duplicated-line join must broadcast:\n$plan")
+    val lineBearing = exchanges.filter(_.output.exists(_.name == "u"))
     assert(lineBearing.isEmpty,
       s"exploded line text crosses an exchange — the corpus would shuffle " +
         s"line-by-line at 100 TB:\n${lineBearing.mkString("\n")}")

@@ -35,7 +35,9 @@ ENT = {}
 with open(TSV, encoding="utf-8") as f:
     for line in f:
         name, cps = line.rstrip("\n").split("\t")
-        ENT[name] = "".join(chr(int(c, 16)) for c in cps.split(" "))
+        # TSV stores UTF-16 code units (Java/C# chars): re-pair surrogates
+        units = "".join(chr(int(c, 16)) for c in cps.split(" "))
+        ENT[name] = units.encode("utf-16-le", "surrogatepass").decode("utf-16-le")
 MAXLEN = max(len(n) for n in ENT)
 
 C1 = {0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
@@ -170,6 +172,41 @@ for payload in ["&#0;", "&#9;", "&#10;", "&#65;", "&#x41;", "&#X41;",
                 "&#", "&#;", "&#x", "&#x;", "&#xG;"]:
     data_case("L%sR" % payload)
     attr_case("L%sR" % payload)
+
+# ---- single-quoted and unquoted attribute values (same charref rules;
+# different value terminators — unquoted ends at whitespace/'>')
+def attr_sq_case(payload):
+    val = decode(payload, in_attr=True)
+    tree = ["| <html>", "|   <head>", "|   <body>", "|     <div>",
+            '|       t="%s"' % val, '|       "x"']
+    cases.append(("<div t='%s'>x</div>" % payload, "\n".join(tree)))
+
+
+def attr_uq_case(payload):
+    val = decode(payload, in_attr=True)
+    tree = ["| <html>", "|   <head>", "|   <body>", "|     <div>",
+            '|       t="%s"' % val, '|       "x"']
+    cases.append(("<div t=%s>x</div>" % payload, "\n".join(tree)))
+
+
+for stem in ["not", "amp", "gt", "copy", "nbsp", "AElig"]:
+    for form in ("&%s;" % stem, "&%s" % stem):
+        for follow in ("", "it", "9", "="):
+            attr_sq_case(form + follow)
+            attr_uq_case(form + follow)
+for payload in ["&#x80;", "&#65", "&#65x", "&", "&xyz;", "&#", "&#x"]:
+    attr_sq_case("L%sR" % payload)
+    attr_uq_case("L%sR" % payload)
+
+# ---- multi-codepoint and astral (supplementary-plane) entity values
+MULTI = sorted(n for n, v in ENT.items() if len(v) >= 2 and n.endswith(";"))[:15]
+ASTRAL = sorted(n for n, v in ENT.items()
+                if any(ord(c) > 0xFFFF for c in v))[:10]
+for name in MULTI + ASTRAL:
+    data_case("a&%sb" % name)            # with semicolon: decodes
+    data_case("a&%sb" % name[:-1])       # without: legacy prefix or literal
+    attr_case("a&%sb" % name)
+    attr_case("a&%sb" % name[:-1])
 
 # ---- ambiguous / bare ampersands
 for payload in ["&", "&&", "& x", "&;", "&x;", "&xyz;", "&#helloworld",
