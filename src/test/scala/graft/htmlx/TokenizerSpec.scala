@@ -91,6 +91,12 @@ class TokenizerSpec extends AnyFunSuite {
     assert(tok("&#x1F600;") == Seq("chars:😀", "eof")) // astral
     assert(tok("&#65") == Seq("chars:A", "eof")) // missing semicolon still decodes
     assert(tok("&#;x") == Seq("chars:&#;x", "eof")) // no digits
+    // numeric CR is EMITTED VERBATIM (parse error, no remap — 0x0D is not
+    // in the C1 table; input-stream CRLF normalization happens BEFORE the
+    // tokenizer, so a charref-produced CR survives into the DOM). Pinned
+    // here because the line-based .dat harness cannot represent it
+    // (tools/gen_charref.py fuzz mode skips decoded-CR payloads).
+    assert(tok("a&#xD;b&#13;c") == Seq("chars:a\rb\rc", "eof"))
   }
 
   test("CR/LF/BOM normalization") {

@@ -214,6 +214,59 @@ for payload in ["&", "&&", "& x", "&;", "&x;", "&xyz;", "&#helloworld",
     data_case(payload)
     attr_case(payload)
 
+# ---- fresh-seed mutual-validation fuzz mode:
+#   gen_charref.py --fuzz N SEED OUT.dat
+# random payloads (entity stems with/without ';', numeric fragments,
+# follower chars) in data + double-quoted-attribute contexts, expectations
+# from THIS independent model — run through graft.tools.CorpusCheck and
+# adjudicate any disagreement by spec text.
+if len(sys.argv) > 1 and sys.argv[1] == "--fuzz":
+    import random
+    n, seed, out = int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    rng = random.Random(seed)
+    stems = sorted(ENT)
+    frags = ["&", ";", "x", "1", "=", " ", "Z", "€", "#", "&#", "&#x",
+             "&#X", "9", "a", "A", "f", "G", "00"]
+    cases.clear()
+    made = 0
+    while made < n:
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.45:
+                s = rng.choice(stems)
+                if s.endswith(";") and rng.random() < 0.5:
+                    s = s[:-1]  # strip the semicolon half the time
+                parts.append("&" + s)
+            elif r < 0.65:
+                parts.append("&#" + rng.choice(["", "x", "X"]) +
+                             "".join(rng.choice("0123456789abcdefABCDEF")
+                                     for _ in range(rng.randint(0, 7))) +
+                             rng.choice(["", ";"]))
+            else:
+                parts.append(rng.choice(frags))
+        payload = "".join(parts)
+        if any(c in payload for c in "<>\n\r\0"):
+            continue
+        # the .dat format is line-based: a decoded CR (&#xD;) cannot be
+        # represented in an expectation (both the generator's writer and
+        # the Scala readers split on it) — skip, the fixed battery pins
+        # numeric-CR behavior separately
+        if "\r" in decode(payload, False) or "\r" in decode(payload, True):
+            continue
+        if rng.random() < 0.5:
+            data_case(payload)
+        elif '"' not in payload and '"' not in decode(payload, True):
+            attr_case(payload)
+        else:
+            continue
+        made += 1
+    with open(out, "w", encoding="utf-8") as f:
+        for data, tree in cases:
+            f.write("#data\n%s\n#errors\n(x)\n#document\n%s\n\n" % (data, tree))
+    print("fuzz: wrote %d cases (seed %d) to %s" % (made, seed, out))
+    sys.exit(0)
+
 out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
     HERE, "..", "src", "test", "resources", "tree-construction", "charref-gen.dat")
 with open(out, "w", encoding="utf-8") as f:
