@@ -127,6 +127,30 @@ object SparkEntry {
       graft.operators.Robots.filterAllowed(pages, robots, "graftbot")
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "url_blocklist" -> ((s, dir) => {
+      // UT1-style URL blocklist gate: three numbered hosts are blocked
+      // whole-domain, the heavy host only under the /doc/4... path prefix.
+      // %11 docs ride a cdn. subdomain — blocked iff their parent domain
+      // is (label-boundary suffix match), and NOT by the heavy host's
+      // prefix entry when the parent is heavy (prefix rules walk suffixes
+      // too, so cdn.heavy.example/doc/4xx IS blocked). The oracle
+      // forward-models the verdict from doc_id.
+      import s.implicits._
+      val pages = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 11 === 0, lit("cdn.")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(10)) < 3, lit("heavy.example"))
+            .otherwise(concat(lit("host-"), pmod(col("doc_id"), lit(97)),
+              lit(".example"))),
+          lit("/doc/"), col("doc_id")).as("url"))
+      val bl = Seq(
+        ("host-5.example", null: String),
+        ("host-19.example", null: String),
+        ("host-33.example", null: String),
+        ("heavy.example", "/doc/4")).toDF("domain", "path_prefix")
+      graft.operators.UrlFilter.filterBlocked(pages, bl)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "gopher_filter" -> ((s, dir) => {
       // Full Gopher rule battery over a deterministically line-structured
       // corpus: every doc gains a bullet line; doc_id%4 docs end a line
@@ -399,6 +423,58 @@ object SparkEntry {
           regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
           graft.functions.HtmlFunctions.extract_title(decode(col("html"), "UTF-8")).as("title"))
         .orderBy("doc_id")
+    }),
+    "extract_headings" -> ((s, dir) => {
+      // section outline: every h1-h6 with its rank in DOM order. Pages are
+      // the synthetic corpus enriched (pure function of doc_id/text) with
+      // article sub-headings: an always-present <h2> (entity-bearing on
+      // %3), a first-word <h4> on %5. Expected sequence per doc: h1 title,
+      // the injected chapter h2 [, h4], then the aside's boilerplate
+      // <h3>Related</h3> — the oracle forward-models all of it.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val w = t.split(' ')
+          val chap =
+            if (id % 3 == 0) s"<h2>Chapter &amp; verse ${id % 7}</h2>"
+            else s"<h2>Chapter ${id % 7}</h2>"
+          val notes = if (id % 5 == 0) s"<h4>${w(0)} notes</h4>" else ""
+          (id, SynthCorpus.pageHtml(id, t).replace("</article></main>",
+            chap + notes + "</article></main>"))
+        }
+        .toDF("doc_id", "html")
+        .select(col("doc_id"),
+          posexplode(graft.functions.HtmlFunctions.extract_headings(col("html"))))
+        .select(col("doc_id"), col("pos").as("h_idx"),
+          col("col.level").as("level"), col("col.heading").as("heading"))
+        .orderBy("doc_id", "h_idx")
+    }),
+    "extract_meta" -> ((s, dir) => {
+      // page metadata stream: every meta with a (name|property|http-equiv)
+      // key AND content, DOM order, duplicates preserved, keys lowercased,
+      // attr values entity-decoded. Enrichment plants a description built
+      // from the doc's first words (with an entity), an og:title, a
+      // duplicate description on %4, an http-equiv, and two metas the
+      // contract EXCLUDES: a content-less keywords meta on %6 and the
+      // corpus's own <meta charset> (a byte-decoding directive).
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val desc = t.split(' ').take(3).mkString(" ")
+          val metas = s"""<meta name="description" content="$desc &amp; more">""" +
+            s"""<meta property="og:title" content="${SynthCorpus.title(id)}">""" +
+            (if (id % 4 == 0) """<meta name="description" content="duplicate description">""" else "") +
+            """<meta http-equiv="Content-Language" content="en">""" +
+            (if (id % 6 == 0) """<meta name="keywords">""" else "")
+          (id, SynthCorpus.pageHtml(id, t).replace("<meta charset=\"utf-8\">",
+            "<meta charset=\"utf-8\">" + metas))
+        }
+        .toDF("doc_id", "html")
+        .select(col("doc_id"),
+          posexplode(graft.functions.HtmlFunctions.extract_meta(col("html"))))
+        .select(col("doc_id"), col("pos").as("m_idx"),
+          col("col.name").as("name"), col("col.content").as("content"))
+        .orderBy("doc_id", "m_idx")
     }),
     "extract_links" -> ((s, dir) => {
       // web-graph edge list: every <a href> plus its decoded anchor text per
@@ -690,6 +766,19 @@ object SparkEntry {
         |  WHEN (doc_id % 97) % 4 = 0 THEN false
         |  WHEN (doc_id % 97) % 4 = 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
         |  ELSE true END
+        |ORDER BY doc_id""".stripMargin,
+    // blocked = host (or a parent domain of it — the %11 cdn. subdomain
+    // changes nothing) is one of the three whole-domain entries, or falls
+    // under heavy.example with a /doc/4 path prefix
+    "url_blocklist" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
+        |         ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END AS bhost
+        |  FROM documents)
+        |SELECT doc_id FROM p
+        |WHERE NOT (bhost IN ('host-5.example', 'host-19.example', 'host-33.example')
+        |  OR (bhost = 'heavy.example'
+        |      AND ('/doc/' || CAST(doc_id AS VARCHAR)) LIKE '/doc/4%'))
         |ORDER BY doc_id""".stripMargin,
     "gopher_filter" ->
       """WITH d AS (SELECT doc_id,
@@ -1015,6 +1104,45 @@ object SparkEntry {
       """SELECT doc_id,
         |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) AS title
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // heading outline: h1 title, injected chapter h2 (entity-bearing on
+    // %3), first-word h4 on %5, then the aside's <h3>Related</h3> — all
+    // pure functions of (doc_id, text), forward-modeled here.
+    "extract_headings" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |h AS (SELECT doc_id,
+        |        [{'level': 1, 'heading': 'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR)},
+        |         {'level': 2, 'heading': 'Chapter ' ||
+        |            CASE WHEN doc_id % 3 = 0 THEN '& verse ' ELSE '' END ||
+        |            CAST(doc_id % 7 AS VARCHAR)}]
+        |        || CASE WHEN doc_id % 5 = 0
+        |             THEN [{'level': 4, 'heading': trim(w[1] || ' notes')}]
+        |             ELSE CAST([] AS STRUCT(level INTEGER, heading VARCHAR)[]) END
+        |        || [{'level': 3, 'heading': 'Related'}] AS hs
+        |      FROM d),
+        |x AS (SELECT doc_id, unnest(list_transform(range(len(hs)),
+        |        i -> {'h_idx': CAST(i AS INT),
+        |              'level': hs[i+1].level, 'heading': hs[i+1].heading})) AS u FROM h)
+        |SELECT doc_id, u.h_idx AS h_idx, u.level AS level, u.heading AS heading FROM x
+        |ORDER BY doc_id, h_idx""".stripMargin,
+    // meta stream: description (first 3 words + decoded entity), og:title,
+    // duplicate description on %4, http-equiv (key lowercased); the
+    // content-less %6 keywords meta and <meta charset> are excluded by the
+    // extractor's contract so they never appear here.
+    "extract_meta" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |        [{'name': 'description', 'content': array_to_string(w[1:3], ' ') || ' & more'},
+        |         {'name': 'og:title', 'content': 'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR)}]
+        |        || CASE WHEN doc_id % 4 = 0
+        |             THEN [{'name': 'description', 'content': 'duplicate description'}]
+        |             ELSE CAST([] AS STRUCT("name" VARCHAR, content VARCHAR)[]) END
+        |        || [{'name': 'content-language', 'content': 'en'}] AS ms
+        |      FROM d),
+        |x AS (SELECT doc_id, unnest(list_transform(range(len(ms)),
+        |        i -> {'m_idx': CAST(i AS INT),
+        |              'name': ms[i+1]."name", 'content': ms[i+1].content})) AS u FROM m)
+        |SELECT doc_id, u.m_idx AS m_idx, u."name" AS name, u.content AS content FROM x
+        |ORDER BY doc_id, m_idx""".stripMargin,
     // web-graph edges: the synthetic page's link structure is a pure
     // function of doc_id (nav sections, fostered table link on %9, article
     // cite on %23 when the post-transform word count allows, aside+footer).

@@ -128,12 +128,80 @@ object HtmlFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Document heading outline: array<struct<level:int, heading:string>> —
+    * every HTML-namespace `<h1>`…`<h6>` in DOM order, text
+    * whitespace-normalized like [[ExtractTitle]] (foreign-content `<title>`
+    * etc. excluded: heading rank is an HTML-namespace concept). The
+    * training-data use: section structure for document chunking and a
+    * quality signal (outline depth/coverage). */
+  case class ExtractHeadings(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StructType(Seq(
+        StructField("level", IntegerType, nullable = false),
+        StructField("heading", StringType, nullable = false))),
+        containsNull = false)
+    override def prettyName: String = "extract_headings"
+    override def nullSafeEval(v: Any): Any = {
+      val doc = HtmlParser.parseDocumentReusing(v.asInstanceOf[UTF8String].toString).doc
+      val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+      graft.htmlx.Dom.elements(doc).foreach { e =>
+        if (e.isHtmlNs && e.name.length == 2 && e.name.charAt(0) == 'h' &&
+            e.name.charAt(1) >= '1' && e.name.charAt(1) <= '6') {
+          val txt = Extractor.normalizeWs(graft.htmlx.Dom.textContent(e)).trim
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            e.name.charAt(1) - '0', UTF8String.fromString(txt))
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Page metadata: array<struct<name:string, content:string>> — every
+    * HTML-namespace `<meta>` carrying BOTH a key attribute (`name`,
+    * `property`, or `http-equiv` — first present wins, lowercased; the
+    * OpenGraph convention rides `property`) and a `content` attribute, in
+    * DOM order with duplicates preserved (first-wins collapsing is a
+    * caller-side `map_from_entries`/`min_by` away; the raw stream is the
+    * lossless form). Attribute values arrive entity-decoded by the
+    * tokenizer. `<meta charset>` is a byte-decoding directive, not page
+    * metadata — excluded (the decode ladder consumes it:
+    * [[graft.htmlx.CharsetSniff]]). */
+  case class ExtractMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("content", StringType, nullable = false))),
+        containsNull = false)
+    override def prettyName: String = "extract_meta"
+    override def nullSafeEval(v: Any): Any = {
+      val doc = HtmlParser.parseDocumentReusing(v.asInstanceOf[UTF8String].toString).doc
+      val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+      graft.htmlx.Dom.elements(doc).foreach { e =>
+        if (e.isHtmlNs && e.name == "meta") {
+          val key = e.attr("name").orElse(e.attr("property")).orElse(e.attr("http-equiv"))
+          (key, e.attr("content")) match {
+            case (Some(k), Some(c)) =>
+              out += org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(k.toLowerCase(java.util.Locale.ROOT)),
+                UTF8String.fromString(c))
+            case _ => ()
+          }
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   import org.apache.spark.sql.GraftShim.{column => toCol, expression => toExpr}
   def decode_entities(c: Column): Column = toCol(DecodeHtmlEntities(toExpr(c)))
   def strip_html(c: Column): Column = toCol(StripHtml(toExpr(c)))
   def extract_main(c: Column): Column = toCol(ExtractMain(toExpr(c)))
   def extract_links(c: Column): Column = toCol(ExtractLinks(toExpr(c)))
   def extract_title(c: Column): Column = toCol(ExtractTitle(toExpr(c)))
+  def extract_headings(c: Column): Column = toCol(ExtractHeadings(toExpr(c)))
+  def extract_meta(c: Column): Column = toCol(ExtractMeta(toExpr(c)))
 
   /** SQL registration: `SELECT decode_entities(col) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -143,5 +211,7 @@ object HtmlFunctions {
     reg.createOrReplaceTempFunction("extract_main", es => ExtractMain(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_title", es => ExtractTitle(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_headings", es => ExtractHeadings(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_meta", es => ExtractMeta(es.head), "scala_udf")
   }
 }

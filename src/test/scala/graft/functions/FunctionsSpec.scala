@@ -47,6 +47,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(links.map(r => (r.getString(0), r.getString(1))) == Seq(("/", "home")))
   }
 
+  test("extract_headings: rank, DOM order, normalization, exclusions") {
+    import spark.implicits._
+    val html =
+      "<body><h1> Top &amp;\n <b>bold</b> title </h1>" +
+        "<h7>not a heading</h7>" +               // unknown element: excluded
+        "<svg><title>chart</title></svg>" +      // foreign title: excluded
+        "<section><h3></h3><h2>Mid</h2></section>" + // empty heading kept, order by DOM
+        "<h6>deep</h6></body>"
+    val rows = Seq(html).toDF("html")
+      .select(HtmlFunctions.extract_headings(org.apache.spark.sql.functions.col("html")).as("h"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(rows == Seq((1, "Top & bold title"), (3, ""), (2, "Mid"), (6, "deep")))
+    HtmlFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT extract_headings('<h2>a</h2>') AS h").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.map(r => (r.getInt(0), r.getString(1))) == Seq((2, "a")))
+  }
+
+  test("extract_meta: key precedence, lowercasing, exclusions, duplicates") {
+    import spark.implicits._
+    val html =
+      "<head><meta charset=\"utf-8\">" +                     // decode directive: excluded
+        "<META NAME=\"Description\" CONTENT=\"A &amp; B\">" + // tag/attr case-folded by tokenizer; VALUE case kept
+        "<meta name=\"x\" property=\"og:x\" content=\"name wins\">" +
+        "<meta property=\"og:title\" content=\"T\">" +
+        "<meta http-equiv=\"Refresh\" content=\"30\">" +
+        "<meta name=\"keywords\">" +                          // no content: excluded
+        "<meta content=\"orphan\"></head>" +                  // no key: excluded
+        "<body><meta name=\"description\" content=\"dup kept\"></body>"
+    val rows = Seq(html).toDF("html")
+      .select(HtmlFunctions.extract_meta(org.apache.spark.sql.functions.col("html")).as("m"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows == Seq(
+      ("description", "A & B"),
+      ("x", "name wins"),
+      ("og:title", "T"),
+      ("refresh", "30"),
+      ("description", "dup kept")))
+  }
+
   test("expression is null-safe") {
     import spark.implicits._
     val out = Seq[Option[String]](None, Some("&amp;")).toDF("s")

@@ -143,6 +143,20 @@ class PlanSpec extends AnyFunSuite {
     df.count() // and it still computes
   }
 
+  test("url blocklist gate: narrow native predicate, zero corpus exchange") {
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$tmp/pages").select($"url")
+    val bl = Seq(("host-1.example", null: String), ("heavy.example", "/doc/4"))
+      .toDF("domain", "path_prefix")
+    val plan = planOf(graft.operators.UrlFilter.filterBlocked(pages, bl))
+    assert(!plan.contains("Exchange"),
+      s"blocklist gate must be a narrow pass over the scan:\n$plan")
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      s"blocklist gate inserts a serialization boundary on the corpus branch:\n$plan")
+    assert(plan.contains("url_allowed"),
+      s"native url_allowed predicate missing from the plan:\n$plan")
+  }
+
   test("lm likelihood: hot vocabulary broadcasts, cold tail shuffles") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"the of and w$i common words here"))
