@@ -917,7 +917,7 @@ object SparkEntry {
         |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) ||
         |  text0 || chr(10) || 'Subscribe to the newsletter today' AS t FROM planted),
         |adm AS (SELECT * FROM ext WHERE NOT (
-        |   (doc_id % 10 < 3 AND CAST(doc_id AS VARCHAR) LIKE '%7')
+        |   (doc_id % 10 < 3 AND CAST(doc_id AS VARCHAR) LIKE '%2')
         |   OR (doc_id % 10 >= 3 AND (doc_id % 97) % 4 = 0))),
         |gw AS (SELECT doc_id, source, t,
         |    list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0) AS w,

@@ -17,6 +17,12 @@ import graft.functions.SketchFunctions
   */
 object Dedup {
 
+  /** Per-context record of the checkpoint dir [[connectedComponents]] last
+    * set (weak keys: a stopped context drops its entry). Guarded by its own
+    * monitor. */
+  private val lastCheckpointDir =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
+
   /** Exact dedup: keep the lowest id per identical text. Groups by two
     * independent 64-bit digests + length — 24 bytes of shuffle per row
     * instead of the document text (at 100 TB that is the difference between
@@ -438,9 +444,18 @@ object Dedup {
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach { dir =>
       val sc = pairs.sparkSession.sparkContext
-      // setCheckpointDir is context-global; only touch it when unset or
-      // different, so repeated calls do not churn the setting
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // setCheckpointDir is context-global and appends a fresh UUID subdir
+      // on EVERY call (so sc.getCheckpointDir never equals the caller's
+      // string — comparing against it is not a usable guard): track what
+      // this operator last set per live context and only re-set on change,
+      // so repeated runs reuse one checkpoint subtree instead of littering
+      // a new UUID directory each invocation
+      lastCheckpointDir.synchronized {
+        if (!Option(lastCheckpointDir.get(sc)).contains(dir)) {
+          sc.setCheckpointDir(dir)
+          lastCheckpointDir.put(sc, dir)
+        }
+      }
     }
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)

@@ -276,47 +276,18 @@ object Robots {
     org.apache.spark.sql.GraftShim.column(
       RobotsAllowed(org.apache.spark.sql.GraftShim.expression(url), bc))
 
-  /** Native codegen'd predicate: does the broadcast robots rules map admit
-    * this url? Reads ONLY the url column — the corpus row never crosses a
-    * serialization boundary (a typed `Row` filter would deserialize every
-    * column, including multi-KB html payloads, per row and break
-    * whole-stage codegen on the exact stage that exists to be narrow).
-    * The broadcast handle serializes as a small reference; executors read
-    * the compiled map from the block manager once per JVM. Never null:
-    * a null url is admitted (nothing to disallow — absent-robots
-    * permissiveness, RFC 9309 §2.3.1). */
+  /** Native predicate over the shared [[UrlGateExpression]] codegen
+    * template: does the broadcast robots rules map admit this url? Null
+    * admits — absent-robots permissiveness, RFC 9309 §2.3.1. */
   final case class RobotsAllowed(
       child: org.apache.spark.sql.catalyst.expressions.Expression,
       bc: org.apache.spark.broadcast.Broadcast[Map[String, Rules]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-    import org.apache.spark.sql.catalyst.expressions.Expression
-    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-
-    override def dataType: org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.BooleanType
-    override def nullable: Boolean = false
+    extends UrlGateExpression {
     override def prettyName: String = "robots_allowed"
-
     def allowedUrl(u: org.apache.spark.unsafe.types.UTF8String): Boolean =
       u == null || urlAllowed(bc.value, u.toString)
-
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-      allowedUrl(child.eval(input)
-        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("robotsGate", this, classOf[RobotsAllowed].getName)
-      val c = child.genCode(ctx)
-      ev.copy(
-        code = code"""
-          |${c.code}
-          |final boolean ${ev.value} =
-          |  $ref.allowedUrl(${c.isNull} ? null : ${c.value});
-        """.stripMargin,
-        isNull = FalseLiteral)
-    }
-    override protected def withNewChildInternal(c: Expression): Expression =
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): RobotsAllowed =
       copy(child = c)
   }
 

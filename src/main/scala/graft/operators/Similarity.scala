@@ -139,6 +139,10 @@ object Similarity {
     // released by the ContextCleaner when the returned plan is dropped,
     // instead of accumulating in the CacheManager across invocations in a
     // long-lived session until an explicit unpersist (ADVICE r04).
+    // Durability caveat: executor-local blocks are not fault-tolerant — a
+    // lost executor fails the job (restart cost: re-run Lloyd's; results
+    // are never wrong). Bounded, unlike an iterative run — which is why
+    // connectedComponents gets a reliable checkpointDir and this does not.
     centroids = centroids.localCheckpoint(true)
     // norms precomputed once per row (narrow pass), not per candidate pair
     // (VERDICT r02 "What's wrong" #3); bit-identical: same expression on the

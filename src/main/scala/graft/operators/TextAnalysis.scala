@@ -174,6 +174,13 @@ object TextAnalysis {
                         hotWords: Int = 65536): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(tokensOf(col(textCol))).as("w"))
+    // Durability tradeoff, stated plainly: localCheckpoint blocks are
+    // executor-local — losing an executor mid-job fails the JOB (not the
+    // results) instead of recomputing from lineage. Acceptable here
+    // because the snapshot is vocab-sized (not corpus-sized) and the
+    // restart cost is one cheap count job; connectedComponents offers a
+    // reliable checkpointDir because its snapshots gate a LONG iterative
+    // run where a mid-flight failure forfeits every completed round.
     // localCheckpoint, not cache: the vocab-sized counts are read three
     // times (total, hot head, cold join); an eager snapshot evaluates them
     // ONCE, and its executor blocks are released by the ContextCleaner as

@@ -54,9 +54,13 @@ object UrlFilter {
   /** Compiled blocklist: exact-domain map probed by the suffix walk. */
   final case class Blocklist(rules: Map[String, DomainRule]) {
     /** Is `url` blocked? Probes every label-boundary suffix of the host:
-      * for `a.b.example` → `a.b.example`, `b.example`, `example`. */
+      * for `a.b.example` → `a.b.example`, `b.example`, `example`. A
+      * trailing root label is stripped first (`ads.example.` ≡
+      * `ads.example` in DNS) — otherwise appending a dot to the host
+      * would evade every entry; [[compile]] normalizes entries the same
+      * way. */
     def blocked(url: String): Boolean = {
-      val host = Robots.hostOf(url)
+      val host = stripRootLabel(Robots.hostOf(url))
       if (host.isEmpty) return false
       var path: String = null // computed once, only if some suffix matches
       var from = 0
@@ -74,12 +78,23 @@ object UrlFilter {
     }
   }
 
+  /** DNS root-label normalization: drop trailing dots (`example.` →
+    * `example`). */
+  private def stripRootLabel(host: String): String = {
+    var end = host.length
+    while (end > 0 && host.charAt(end - 1) == '.') end -= 1
+    if (end == host.length) host else host.substring(0, end)
+  }
+
   /** Compile blocklist rows ((domain, path_prefix) pairs; domains
-    * case-normalized like [[Robots.hostOf]]'s output) into the probe map. */
+    * case-normalized like [[Robots.hostOf]]'s output, trailing root
+    * labels stripped) into the probe map. */
   def compile(rows: Seq[(String, String)]): Blocklist = {
     val byDomain = rows
-      .filter { case (d, _) => d != null && d.nonEmpty }
-      .map { case (d, p) => (d.toLowerCase(java.util.Locale.ROOT), p) }
+      .map { case (d, p) =>
+        (if (d == null) "" else stripRootLabel(d.toLowerCase(java.util.Locale.ROOT)), p)
+      }
+      .filter { case (d, _) => d.nonEmpty }
       .groupBy(_._1)
     Blocklist(byDomain.map { case (d, es) =>
       val whole = es.exists { case (_, p) => p == null || p.isEmpty }
@@ -120,42 +135,18 @@ object UrlFilter {
     org.apache.spark.sql.GraftShim.column(
       UrlAllowed(org.apache.spark.sql.GraftShim.expression(url), bc))
 
-  /** Native codegen'd predicate: true when the broadcast blocklist does NOT
-    * block this url. Reads only the url column — the corpus row never
-    * crosses a serialization boundary (same design as
-    * [[Robots.RobotsAllowed]]). Never null: a null url is kept. */
+  /** Native predicate over the shared [[UrlGateExpression]] codegen
+    * template: true when the broadcast blocklist does NOT block this url.
+    * Null urls are kept. */
   final case class UrlAllowed(
       child: org.apache.spark.sql.catalyst.expressions.Expression,
       bc: org.apache.spark.broadcast.Broadcast[Blocklist])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-    import org.apache.spark.sql.catalyst.expressions.Expression
-    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-
-    override def dataType: org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.BooleanType
-    override def nullable: Boolean = false
+    extends UrlGateExpression {
     override def prettyName: String = "url_allowed"
-
     def allowedUrl(u: org.apache.spark.unsafe.types.UTF8String): Boolean =
       u == null || !bc.value.blocked(u.toString)
-
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-      allowedUrl(child.eval(input)
-        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("urlGate", this, classOf[UrlAllowed].getName)
-      val c = child.genCode(ctx)
-      ev.copy(
-        code = code"""
-          |${c.code}
-          |final boolean ${ev.value} =
-          |  $ref.allowedUrl(${c.isNull} ? null : ${c.value});
-        """.stripMargin,
-        isNull = FalseLiteral)
-    }
-    override protected def withNewChildInternal(c: Expression): Expression =
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): UrlAllowed =
       copy(child = c)
   }
 }

@@ -77,10 +77,13 @@ object E2EPipeline {
   }
 
   /** Per-host robots fixture (rule class keyed on host number, like the
-    * robots_filter query): heavy.example throttles URLs ending in 7 via a
-    * wildcard anchor; every 4th numbered host denies everything; every
-    * 4th+1 serves an allow-all; the rest serve no robots.txt (allowed per
-    * RFC 9309 §2.3.1). */
+    * robots_filter query): heavy.example throttles URLs ending in 2 via a
+    * wildcard anchor (heavy doc ids satisfy id % 10 < 3, so their paths
+    * end in 0/1/2 — an anchor digit outside that set would make the rule
+    * vacuous and leave wildcard matching unexercised in the composed
+    * job); every 4th numbered host denies everything; every 4th+1 serves
+    * an allow-all; the rest serve no robots.txt (allowed per RFC 9309
+    * §2.3.1). */
   def robotsTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rows = (0 until 97).flatMap { n =>
@@ -90,9 +93,13 @@ object E2EPipeline {
         case 1 => Some((host, "User-agent: *\nDisallow:\n"))
         case _ => None
       }
-    } :+ (("heavy.example", "User-agent: *\nDisallow: /*7$\n"))
+    } :+ (("heavy.example", "User-agent: *\nDisallow: /*2$\n"))
     rows.toDF("host", "robots_txt")
   }
+
+  /** Bump when [[writeWarcSegments]]' page/record recipe changes — part of
+    * the fixture-cache marker name. */
+  val fixtureVersion = "v2"
 
   /** Deterministic WARC fixture segments: docs grouped by doc_id % segments,
     * sorted within a segment, one WARC/1.0 file per segment (member-gzip on
@@ -103,9 +110,21 @@ object E2EPipeline {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // segment content is a pure function of (docs, segments): a completed
-    // fixture (marker present) is reused across verify/bench invocations
-    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_DONE-$segments")
+    // segment content is a pure function of (docs, segments, fixture
+    // version): a completed fixture (marker present) is reused across
+    // verify/bench invocations. The marker carries a CONTENT fingerprint
+    // of the docs input (order-insensitive hash-xor; a sum would overflow
+    // Long under ANSI mode) plus a version bumped
+    // with the fixture logic — a regenerated corpus at the same path, or a
+    // changed banner/page recipe, invalidates the cache instead of
+    // silently serving stale WARC bytes to the engine side while the
+    // oracle forward-models the new corpus.
+    val Array(fpRow) = docs
+      .agg(bit_xor(xxhash64(col("doc_id"), col("text"))), count(lit(1))).collect()
+    val fp = java.lang.Long.toHexString(
+      (if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)) ^ fpRow.getLong(1))
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/_DONE-$fixtureVersion-$segments-$fp")
     val mfs = marker.getFileSystem(conf.value)
     if (mfs.exists(marker)) return
     docs.select(col("doc_id"), col("text")).as[(Long, String)]

@@ -20,11 +20,8 @@ object E2EDemo {
     val sec = (System.nanoTime() - t0) / 1e9
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     println(f"[e2e] input docs: $docs, survivors: ${rows.length}, $sec%.1f s")
-    rows.take(3).foreach { r =>
-      println(s"[e2e] id=${r.getLong(0)} tokens=${r.getLong(2)} chunks=${r.getLong(3)} " +
-        s"start=${r.getLong(4)} text=${r.getString(1).replace("\n", "\\n").take(120)}")
-    }
-    rows.takeRight(2).foreach { r =>
+    // head + tail samples (disjoint when the survivor set is tiny)
+    (rows.take(3) ++ rows.drop(3).takeRight(2)).foreach { r =>
       println(s"[e2e] id=${r.getLong(0)} tokens=${r.getLong(2)} chunks=${r.getLong(3)} " +
         s"start=${r.getLong(4)} text=${r.getString(1).replace("\n", "\\n").take(120)}")
     }

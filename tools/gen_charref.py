@@ -64,7 +64,10 @@ def char_ref(s, i, in_attr):
         if hexmode:
             j += 1
         digits = ""
-        while j < n and (s[j].isdigit() or (hexmode and s[j].lower() in "abcdef")):
+        # ASCII digit classes only: WHATWG's "ASCII digit"/"ASCII hex
+        # digit" — Python's str.isdigit() accepts Unicode decimals (e.g.
+        # Devanagari), which the spec/engine do not
+        while j < n and (("0" <= s[j] <= "9") or (hexmode and s[j].lower() in "abcdef")):
             digits += s[j]
             j += 1
         if not digits:
@@ -85,7 +88,11 @@ def char_ref(s, i, in_attr):
     if best is None:
         return ("&", i + 1)
     end = j + len(best)
-    if not best.endswith(";") and in_attr and end < n and (s[end].isalnum() or s[end] == "="):
+    # ASCII alphanumeric only (spec: "ASCII alphanumeric"): str.isalnum()
+    # is Unicode-wide and would suppress legacy decodes the engine performs
+    if not best.endswith(";") and in_attr and end < n and (
+            ("0" <= s[end] <= "9") or ("A" <= s[end] <= "Z")
+            or ("a" <= s[end] <= "z") or s[end] == "="):
         return (s[i:end], end)  # attribute legacy suppression
     return (ENT[best], end)
 
