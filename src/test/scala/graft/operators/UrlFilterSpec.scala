@@ -23,6 +23,15 @@ class UrlFilterSpec extends AnyFunSuite {
     assert(!b.blocked("https://ads.example.org/"))
   }
 
+  test("trailing root label cannot evade the list (either side)") {
+    val b = bl(("ads.example", null))
+    assert(b.blocked("https://ads.example./x"))      // FQDN host form
+    assert(b.blocked("https://cdn.ads.example./x"))
+    assert(b.blocked("https://ads.example../x"))     // degenerate extra dots
+    val entryDotted = bl(("ads.example.", null))     // dotted entry normalizes
+    assert(entryDotted.blocked("https://ads.example/x"))
+  }
+
   test("path prefix blocks only that subtree, walks subdomains too") {
     val b = bl(("example.com", "/forum/"))
     assert(b.blocked("https://example.com/forum/t/1"))
