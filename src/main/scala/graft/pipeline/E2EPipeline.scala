@@ -212,9 +212,17 @@ object E2EPipeline {
       .select(col("id").as("doc_id"))
     val lmGated = gated.join(lmKeep, Seq("doc_id"), "left_semi")
     // line-level corpus dedup (strips the banner everywhere but its first
-    // surviving occurrence); its join-back reuses the doc_id partitioning
-    val ld = Dedup.lineLevel(lmGated, "doc_id", "text")
-      .select(col("doc_id"), col("text"))
+    // surviving occurrence); its join-back reuses the doc_id partitioning.
+    // SECOND stage boundary: lineLevel REWRITES the text, and everything
+    // downstream (minhash sketch + pair verify self-join, survivor
+    // anti-join, decontamination, mixing) branches over the rewritten
+    // stream across many separate actions — without a boundary each one
+    // re-executes the gate+dedup lineage (exchange reuse only spans ONE
+    // action), which measured ~3× the whole job's runtime at sf0.1.
+    // Production materializes here too: the post-dedup stream is a lake
+    // table (it IS the deliverable of the dedup stage).
+    val ld = materialize(Dedup.lineLevel(lmGated, "doc_id", "text")
+      .select(col("doc_id"), col("text")))
     // near-dup survivor selection: LSH pairs → components → keep cluster min
     val pairs = Dedup.minhashDedup(ld, "doc_id", "text",
       threshold = 0.8, maxBucket = 1000000)(spark)
