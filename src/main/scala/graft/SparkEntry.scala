@@ -501,6 +501,18 @@ object SparkEntry {
       Dedup.exact(docs(s, dir), "doc_id", "text")
         .select("doc_id", "copies").orderBy("doc_id")
     }),
+    "snapshot_dedup" -> ((s, dir) => {
+      // incremental cross-snapshot dedup: every 7th doc stands in for the
+      // prior crawl; a doc is in_prior iff its TEXT matches some prior
+      // doc's text (the %7 docs themselves, plus any natural cross-id
+      // duplicate of one). Broadcast mode — exact digests, zero corpus
+      // exchange (PlanSpec-gated).
+      val d = docs(s, dir)
+      val prior = d.filter(col("doc_id") % 7 === 0).select(col("text"))
+      Dedup.againstSnapshot(d, "doc_id", "text", prior, "text",
+          mode = "broadcast")
+        .orderBy("doc_id")
+    }),
     "dedup_jaccard_adjacent" -> ((s, dir) => {
       // docs with <3 words have an EMPTY shingle array: drop them so the
       // row set matches the oracle's `WHERE len(w) >= 3` exactly
@@ -1182,6 +1194,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+    // in_prior = text occurs among the %7 prior-snapshot docs' texts
+    "snapshot_dedup" ->
+      """SELECT d.doc_id, (p.text IS NOT NULL) AS in_prior
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0) p
+        |  ON d.text = p.text
+        |ORDER BY d.doc_id""".stripMargin,
     // MinHash-LSH near-dup: the oracle recomputes the exact-Jaccard pair set
     // over STRING shingles with an inverted-index join (count of shared
     // distinct shingles = intersection size — no list_intersect). This is a

@@ -293,6 +293,33 @@ object SketchFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Narrow membership probe against a broadcast Bloom filter of prior
+    * content hashes — the zero-join leg of
+    * [[graft.operators.Dedup.againstSnapshot]]. The broadcast handle
+    * serializes as a small reference; executors read the (possibly
+    * GB-scale) bit array from the block manager once per JVM and every
+    * probe is a few cache-line reads. `mightContainLong` can return a
+    * FALSE POSITIVE (rate = the filter's fpp) and never a false negative —
+    * exactly the asymmetry snapshot dedup wants (a miss would readmit a
+    * known duplicate; a rare FP drops one new document). */
+  case class BloomMightContain(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def prettyName: String = "bloom_might_contain"
+    def contains(v: Long): Boolean = bc.value.mightContainLong(v)
+    override def nullSafeEval(v: Any): Any = contains(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContain].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.contains($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def bloom_might_contain(c: Column,
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    toCol(BloomMightContain(toExpr(c), bc))
+
   def word_shingles(text: Column, k: Int): Column = toCol(WordShingles(toExpr(text), k))
   def word_shingles_pos(text: Column, k: Int): Column =
     toCol(WordShinglesPos(toExpr(text), k))

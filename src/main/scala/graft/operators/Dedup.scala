@@ -56,6 +56,73 @@ object Dedup {
       .select(col(idCol), col("copies"))
   }
 
+  /** Incremental CROSS-SNAPSHOT exact dedup — the leg the within-corpus
+    * family ([[exact]]/[[minhashDedup]]/…) cannot cover: flag documents of
+    * a NEW crawl whose text already appeared in a PRIOR snapshot (monthly
+    * Common-Crawl-style pipelines dedup each drop against everything
+    * already kept). Returns (idCol, in_prior: boolean); the caller filters.
+    *
+    * Identity is the same 128-bit (xxhash64, xxhash64 seed 1) text digest
+    * as [[exact]], so the two operators agree on what "the same text"
+    * means.
+    *
+    * Modes (100 TB shapes — the corpus side NEVER shuffles in the first
+    * two):
+    *  - `"broadcast"`: distinct prior digests ride a BroadcastHashJoin —
+    *    exact, zero corpus exchange; right up to ~10⁷ prior docs (16 B a
+    *    digest).
+    *  - `"bloom"`: one Bloom filter built over the prior digests
+    *    (`DataFrameStatFunctions.bloomFilter` — a treeAggregate, no
+    *    driver-side row collection), broadcast once, probed by the narrow
+    *    codegen'd `bloom_might_contain` — NO join at all. False positives
+    *    at `fpp` drop new documents (never readmit known ones: no false
+    *    negatives). ~1.2 GB of bits per 10⁹ prior docs at fpp 1e-3:
+    *    single-filter practical ceiling ~10⁹–10¹⁰ priors; beyond that,
+    *    shard the digest space and gate each shard with its own filter.
+    *  - `"join"`: shuffle left join on the digest — exact and unbounded;
+    *    both sides exchange 16 B/row digests (never text), AQE splits any
+    *    skew.
+    *  - `"auto"` (default): one count over the prior picks `broadcast`
+    *    under `maxBroadcastRows`, else `join` (bloom stays opt-in because
+    *    it changes semantics — approximate).
+    *
+    * The prior side is aggregated to DISTINCT digests in every mode, so a
+    * prior containing the same text a million times neither duplicates
+    * corpus rows through the join nor skews it. */
+  def againstSnapshot(docs: DataFrame, idCol: String, textCol: String,
+                      prior: DataFrame, priorTextCol: String,
+                      mode: String = "auto",
+                      maxBroadcastRows: Long = 10L * 1000 * 1000,
+                      expectedItems: Long = 0, fpp: Double = 1e-6): DataFrame = {
+    require(Set("auto", "broadcast", "join", "bloom")(mode), s"unknown mode $mode")
+    val priorH = prior.select(
+        xxhash64(col(priorTextCol)).as("__h1"),
+        xxhash64(col(priorTextCol), lit(1)).as("__h2"))
+      .groupBy("__h1", "__h2").agg(lit(true).as("__p"))
+    val effective =
+      if (mode != "auto") mode
+      else if (prior.select(col(priorTextCol))
+        .limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt)
+        .count() <= maxBroadcastRows) "broadcast"
+      else "join"
+    if (effective == "bloom") {
+      val n = if (expectedItems > 0) expectedItems
+        else math.max(1L, priorH.count())
+      val bloom = priorH.stat.bloomFilter(col("__h1"), n, fpp)
+      val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+      docs.select(col(idCol),
+        graft.functions.SketchFunctions.bloom_might_contain(
+          xxhash64(col(textCol)), bc).as("in_prior"))
+    } else {
+      val rhs = if (effective == "broadcast") broadcast(priorH) else priorH
+      docs.select(col(idCol),
+          xxhash64(col(textCol)).as("__h1"),
+          xxhash64(col(textCol), lit(1)).as("__h2"))
+        .join(rhs, Seq("__h1", "__h2"), "left")
+        .select(col(idCol), coalesce(col("__p"), lit(false)).as("in_prior"))
+    }
+  }
+
   /** URL-level dedup: one row per canonical URL ([[graft.functions
     * .UrlFunctions.url_canon]]), keeping the EARLIEST capture — the
     * standard crawl-consolidation rule (recrawls of the same page under

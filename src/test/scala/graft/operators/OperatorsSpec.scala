@@ -548,6 +548,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1 == s2, s"substring split changed results:\n$s1\n$s2")
   }
 
+  test("snapshot dedup: all four modes agree; prior duplicates collapse") {
+    import spark.implicits._
+    val docs = docsWithPlantedDups
+    // prior snapshot: doc 0's text (twice — distinctness must absorb it)
+    // and doc 3's; docs 0, 1 (same text as 0) and 3 are in_prior
+    val prior = Seq(
+      docs.as[(Long, String)].collect()(0)._2,
+      docs.as[(Long, String)].collect()(0)._2,
+      docs.as[(Long, String)].collect()(3)._2
+    ).toDF("text")
+    val expected = Map(0L -> true, 1L -> true, 2L -> false,
+      3L -> true, 4L -> false, 5L -> false)
+    for (mode <- Seq("auto", "broadcast", "join", "bloom")) {
+      val out = Dedup.againstSnapshot(docs, "doc_id", "text", prior, "text",
+          mode = mode)
+        .as[(Long, Boolean)].collect().toMap
+      assert(out == expected, s"mode $mode")
+    }
+    // row count preserved even with duplicate prior texts
+    assert(Dedup.againstSnapshot(docs, "doc_id", "text", prior, "text").count() == 6)
+  }
+
+  test("snapshot dedup: empty prior flags nothing; bloom has no false negatives") {
+    import spark.implicits._
+    val docs = docsWithPlantedDups
+    val empty = Seq.empty[String].toDF("text")
+    assert(Dedup.againstSnapshot(docs, "doc_id", "text", empty, "text")
+      .filter($"in_prior").count() == 0)
+    // 200 distinct prior texts, every one re-presented: bloom must flag ALL
+    // (mightContain has no false negatives)
+    val priorDocs = (0L until 200L).map(i => (i, s"prior document number $i with words"))
+    val prior = priorDocs.map(_._2).toDF("text")
+    val again = priorDocs.toDF("doc_id", "text")
+    val flagged = Dedup.againstSnapshot(again, "doc_id", "text", prior, "text",
+        mode = "bloom")
+      .filter($"in_prior").count()
+    assert(flagged == 200L)
+  }
+
   test("quality score: fixed linear weights, threshold labels") {
     import spark.implicits._
     val rows = Seq(

@@ -157,6 +157,30 @@ class PlanSpec extends AnyFunSuite {
       s"native url_allowed predicate missing from the plan:\n$plan")
   }
 
+  test("snapshot dedup: broadcast mode never shuffles the corpus; bloom mode has no join at all") {
+    import spark.implicits._
+    // parquet-backed docs: a LocalRelation would let the optimizer evaluate
+    // the whole narrow probe at plan time and hide the shape under test
+    (0L until 40L).map(i => (i, s"document number $i text"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/snapdocs")
+    val docs = spark.read.parquet(s"$tmp/snapdocs")
+    val prior = (0L until 10L).map(i => s"document number ${i * 2} text").toDF("text")
+    val bPlan = planOf(graft.operators.Dedup.againstSnapshot(
+      docs, "doc_id", "text", prior, "text", mode = "broadcast"))
+    assert(bPlan.contains("BroadcastHashJoin"),
+      s"prior digests must ride a broadcast join:\n$bPlan")
+    val corpusShuffle = bPlan.linesIterator.filter(l =>
+      l.contains("hashpartitioning(") && l.contains("doc_id"))
+    assert(corpusShuffle.isEmpty,
+      s"broadcast snapshot dedup shuffles the corpus:\n$bPlan")
+    val blPlan = planOf(graft.operators.Dedup.againstSnapshot(
+      docs, "doc_id", "text", prior, "text", mode = "bloom"))
+    assert(!blPlan.contains("Join") && !blPlan.contains("Exchange"),
+      s"bloom mode must be a narrow probe with no join or exchange:\n$blPlan")
+    assert(blPlan.contains("bloom_might_contain"),
+      s"native bloom probe missing from the plan:\n$blPlan")
+  }
+
   test("lm likelihood: hot vocabulary broadcasts, cold tail shuffles") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"the of and w$i common words here"))
