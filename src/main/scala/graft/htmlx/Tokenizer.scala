@@ -705,7 +705,13 @@ final class Tokenizer(handler: TokenHandler) {
         val nextIdx = p + len
         if (nextIdx < n) {
           val nc = s.charAt(nextIdx)
-          if (nc == '=' || Character.isLetterOrDigit(nc)) {
+          // ASCII alphanumeric ONLY (spec "ASCII alphanumeric"; reference
+          // Tokenizer.cs:3417-3419 uses the same three ranges) — a
+          // Unicode-wide isLetterOrDigit would wrongly suppress the legacy
+          // decode before non-ASCII followers like 'é' (found by the
+          // non-ASCII char-ref fuzz battery)
+          if (nc == '=' || (nc >= '0' && nc <= '9') ||
+              (nc >= 'A' && nc <= 'Z') || (nc >= 'a' && nc <= 'z')) {
             // historical: do not decode
             out.append('&')
             return

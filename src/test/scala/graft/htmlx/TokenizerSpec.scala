@@ -80,6 +80,14 @@ class TokenizerSpec extends AnyFunSuite {
     // bare &not at value end decodes (legacy)
     assert(tok("""<a href="x&not">y</a>""") ==
       Seq("start:a[href=x¬]", "chars:y", "end:a", "eof"))
+    // suppression tests ASCII alphanumeric ONLY (spec; reference
+    // Tokenizer.cs:3417-3419): a non-ASCII alphanumeric follower ('é',
+    // Arabic-Indic digit '٣') does NOT suppress — the legacy ref decodes
+    // (r5 fix: Character.isLetterOrDigit wrongly suppressed these)
+    assert(tok("<a href=\"x&noté\">y</a>") ==
+      Seq("start:a[href=x¬é]", "chars:y", "end:a", "eof"))
+    assert(tok("<a href=\"x&not٣\">y</a>") ==
+      Seq("start:a[href=x¬٣]", "chars:y", "end:a", "eof"))
   }
 
   test("numeric entities") {

@@ -146,8 +146,12 @@ SEMI_ONLY = ["notin", "lambda", "alpha", "bull", "hellip", "dagger",
              "prod", "sum", "minus", "radic", "infin", "oplus", "starf"]
 for stem in LEGACY:
     assert stem in ENT and (stem + ";") in ENT, stem
+    # followers include NON-ASCII alphanumerics ('é', Arabic-Indic '٣'):
+    # WHATWG's attribute legacy suppression tests "ASCII alphanumeric", so
+    # these must NOT suppress the decode (a Unicode-wide isalnum on either
+    # side fails this row of the matrix — caught an engine bug in r5)
     for form in ("&%s;" % stem, "&%s" % stem):
-        for follow in ("", "it", "9", "=", " y"):
+        for follow in ("", "it", "9", "=", " y", "é", "٣"):
             payload = form + follow
             data_case(payload)
             attr_case(payload)
@@ -233,7 +237,13 @@ if len(sys.argv) > 1 and sys.argv[1] == "--fuzz":
     rng = random.Random(seed)
     stems = sorted(ENT)
     frags = ["&", ";", "x", "1", "=", " ", "Z", "€", "#", "&#", "&#x",
-             "&#X", "9", "a", "A", "f", "G", "00"]
+             "&#X", "9", "a", "A", "f", "G", "00",
+             # non-ASCII followers that Python's Unicode-wide isalnum/
+             # isdigit WOULD class as alphanumeric but WHATWG's "ASCII
+             # alphanumeric"/"ASCII digit" do not: after a no-semicolon
+             # legacy entity in an attribute these must NOT suppress the
+             # decode, and after "&#" they must NOT be consumed as digits
+             "é", "٣", "²", "µ", "ñ", "³"]
     cases.clear()
     made = 0
     while made < n:
