@@ -20,6 +20,14 @@ is body > "z", div(attrs sorted) > "x".
 """
 import sys
 
+# WHATWG character classes are ASCII-only; Python's str.isalnum()/isdigit()/
+# isalpha() are Unicode-wide and would diverge from the spec (and the
+# engine) on non-ASCII payloads (see gen_charref.py, r5 engine fix)
+def _ascii_digit(c): return "0" <= c <= "9"
+def _ascii_alpha(c): return "A" <= c <= "Z" or "a" <= c <= "z"
+def _ascii_alnum(c): return _ascii_digit(c) or _ascii_alpha(c)
+
+
 WS = "\t\n\f "
 ENTITIES = {
     "amp;": "&", "amp": "&", "lt;": "<", "lt": "<", "gt;": ">", "gt": ">",
@@ -50,7 +58,7 @@ def char_ref_attr(s, i):
         if hexmode:
             j += 1
         digits = ""
-        while j < n and (s[j].isdigit() or (hexmode and s[j].lower() in "abcdef")):
+        while j < n and (_ascii_digit(s[j]) or (hexmode and s[j].lower() in "abcdef")):
             digits += s[j]
             j += 1
         if not digits:
@@ -60,7 +68,7 @@ def char_ref_attr(s, i):
         return (numeric_value(int(digits, 16 if hexmode else 10)), j)
     run = ""
     k = j
-    while k < n and (s[k].isalnum() or s[k] == ";"):
+    while k < n and (_ascii_alnum(s[k]) or s[k] == ";"):
         run += s[k]
         k += 1
         if s[k - 1] == ";":
@@ -74,7 +82,7 @@ def char_ref_attr(s, i):
         return ("&", j)
     if not best.endswith(";"):
         nxt = j + len(best)
-        if nxt < n and (s[nxt].isalnum() or s[nxt] == "="):
+        if nxt < n and (_ascii_alnum(s[nxt]) or s[nxt] == "="):
             return ("&", j)  # historical: leave &name literal in attributes
     return (ENTITIES[best], j + len(best))
 
@@ -120,7 +128,11 @@ def parse_attrs(s):
             elif c == "\x00":
                 name += "�"; i += 1
             else:
-                name += c.lower(); i += 1
+                # ASCII case folding only (spec lowercases ASCII upper
+                # alpha; Python's .lower() would also fold 'É' → 'é',
+                # which the engine correctly does NOT)
+                name += chr(ord(c) + 32) if "A" <= c <= "Z" else c
+                i += 1
         elif state == "after_name":
             if c in WS:
                 i += 1
@@ -204,6 +216,10 @@ def main():
         ' a=b', ' a="b"', " a='b'", ' a=b c=d', ' a="b" c=\'d\'', ' a',
         ' a b', ' a=""', " a=''", ' a=', ' a =b', ' a= b', ' a = b',
         ' a\t=\tb', ' A=b', ' ID=x', ' a=B', ' a=b/', ' a/b', ' a/b=c',
+        # non-ASCII attribute names: case folding is ASCII-only, so 'É'
+        # must survive UNfolded (Python .lower() would fold it — the
+        # divergence class fixed across the generators in r5)
+        ' É=1', ' DATA-É=x', ' é=2', ' naïve=y',
         ' /a', ' //', ' / a=b', ' a="b"c=d', " a='b'c", ' =a', ' =a=b',
         ' ==', ' a==b', ' a=b=c', ' a="b=c"', ' <b', ' a<b', ' a=b<c',
         ' "a"=b', " 'a'=b", ' a"b=c', ' a=`x`', ' a=b"', " a=b'",

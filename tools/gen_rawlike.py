@@ -23,6 +23,14 @@ noframes (RAWTEXT). No newlines (textarea leading-LF rule untouched).
 """
 import sys
 
+# WHATWG character classes are ASCII-only; Python's str.isalnum()/isdigit()/
+# isalpha() are Unicode-wide and would diverge from the spec (and the
+# engine) on non-ASCII payloads (see gen_charref.py, r5 engine fix)
+def _ascii_digit(c): return "0" <= c <= "9"
+def _ascii_alpha(c): return "A" <= c <= "Z" or "a" <= c <= "z"
+def _ascii_alnum(c): return _ascii_digit(c) or _ascii_alpha(c)
+
+
 WS = "\t\n\f "
 
 # closed entity subset: name (without &) -> decoded text.
@@ -60,7 +68,7 @@ def char_ref(body, i):
         if hexmode:
             j += 1
         digits = ""
-        while j < n and (body[j].isdigit() or
+        while j < n and (_ascii_digit(body[j]) or
                          (hexmode and body[j].lower() in "abcdef")):
             digits += body[j]
             j += 1
@@ -72,7 +80,7 @@ def char_ref(body, i):
     # named: longest table match over [a-zA-Z0-9;]+
     run = ""
     k = j
-    while k < n and (body[k].isalnum() or body[k] == ";"):
+    while k < n and (_ascii_alnum(body[k]) or body[k] == ";"):
         nxt = run + body[k]
         # stop extending past the first ';'
         run = nxt
@@ -113,12 +121,12 @@ def tokenize_rawlike(body, name, rcdata):
             else:
                 out.append("<"); state = "data"
         elif state == "end_open":
-            if c.isalpha():
+            if _ascii_alpha(c):
                 state = "end_name"
             else:
                 out.append("</"); state = "data"
         elif state == "end_name":
-            if c.isalpha():
+            if _ascii_alpha(c):
                 tmp += c; i += 1
             elif (c in WS or c == "/" or c == ">") and tmp.lower() == name:
                 if c == ">":

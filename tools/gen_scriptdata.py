@@ -21,6 +21,14 @@ text). Inputs never contain newlines or quoted attributes with '>'.
 """
 import sys
 
+# WHATWG character classes are ASCII-only; Python's str.isalnum()/isdigit()/
+# isalpha() are Unicode-wide and would diverge from the spec (and the
+# engine) on non-ASCII payloads (see gen_charref.py, r5 engine fix)
+def _ascii_digit(c): return "0" <= c <= "9"
+def _ascii_alpha(c): return "A" <= c <= "Z" or "a" <= c <= "z"
+def _ascii_alnum(c): return _ascii_digit(c) or _ascii_alpha(c)
+
+
 WS = "\t\n\f "
 
 
@@ -54,12 +62,12 @@ def tokenize_script(body):
             else:
                 out.append("<"); state = "data"
         elif state == "end_open":
-            if c.isalpha():
+            if _ascii_alpha(c):
                 state = "end_name"
             else:
                 out.append("</"); state = "data"
         elif state == "end_name":
-            if c.isalpha():
+            if _ascii_alpha(c):
                 tmp += c; i += 1
             elif (c in WS or c == "/" or c == ">") and tmp.lower() == "script":
                 # appropriate end tag: for '/' and whitespace the tokenizer
@@ -113,17 +121,17 @@ def tokenize_script(body):
         elif state == "esc_lt":
             if c == "/":
                 tmp = ""; state = "esc_end_open"; i += 1
-            elif c.isalpha():
+            elif _ascii_alpha(c):
                 tmp = ""; out.append("<"); state = "dbl_start"
             else:
                 out.append("<"); state = "esc"
         elif state == "esc_end_open":
-            if c.isalpha():
+            if _ascii_alpha(c):
                 state = "esc_end_name"
             else:
                 out.append("</"); state = "esc"
         elif state == "esc_end_name":
-            if c.isalpha():
+            if _ascii_alpha(c):
                 tmp += c; i += 1
             elif (c in WS or c == "/" or c == ">") and tmp.lower() == "script":
                 if c == ">":
@@ -138,7 +146,7 @@ def tokenize_script(body):
             if c in WS or c == "/" or c == ">":
                 state = "dbl" if tmp.lower() == "script" else "esc"
                 out.append(c); i += 1
-            elif c.isalpha():
+            elif _ascii_alpha(c):
                 tmp += c.lower(); out.append(c); i += 1
             else:
                 state = "esc"
@@ -174,7 +182,7 @@ def tokenize_script(body):
             if c in WS or c == "/" or c == ">":
                 state = "esc" if tmp.lower() == "script" else "dbl"
                 out.append(c); i += 1
-            elif c.isalpha():
+            elif _ascii_alpha(c):
                 tmp += c.lower(); out.append(c); i += 1
             else:
                 state = "dbl"
