@@ -62,64 +62,89 @@ object Dedup {
     * Common-Crawl-style pipelines dedup each drop against everything
     * already kept). Returns (idCol, in_prior: boolean); the caller filters.
     *
-    * Identity is the same 128-bit (xxhash64, xxhash64 seed 1) text digest
-    * as [[exact]], so the two operators agree on what "the same text"
-    * means.
+    * Identity in the exact modes is [[exact]]'s full key — the 128-bit
+    * (xxhash64, xxhash64 seed 1) text digest PLUS the text length, with
+    * the same optional `guardBytes` head/tail columns — so the two
+    * operators agree on what "the same text" means, including against
+    * crafted non-crypto collisions (exact()'s documented adversarial
+    * caveat). A NULL text is never `in_prior` (SQL equality semantics: a
+    * null matches nothing), and null prior texts contribute nothing.
     *
     * Modes (100 TB shapes — the corpus side NEVER shuffles in the first
     * two):
-    *  - `"broadcast"`: distinct prior digests ride a BroadcastHashJoin —
-    *    exact, zero corpus exchange; right up to ~10⁷ prior docs (16 B a
-    *    digest).
-    *  - `"bloom"`: one Bloom filter built over the prior digests
-    *    (`DataFrameStatFunctions.bloomFilter` — a treeAggregate, no
-    *    driver-side row collection), broadcast once, probed by the narrow
-    *    codegen'd `bloom_might_contain` — NO join at all. False positives
-    *    at `fpp` drop new documents (never readmit known ones: no false
-    *    negatives). ~1.2 GB of bits per 10⁹ prior docs at fpp 1e-3:
-    *    single-filter practical ceiling ~10⁹–10¹⁰ priors; beyond that,
-    *    shard the digest space and gate each shard with its own filter.
-    *  - `"join"`: shuffle left join on the digest — exact and unbounded;
-    *    both sides exchange 16 B/row digests (never text), AQE splits any
+    *  - `"broadcast"`: distinct prior keys ride a BroadcastHashJoin —
+    *    exact, zero corpus exchange; right up to ~10⁷ prior docs (~24 B a
+    *    key).
+    *  - `"bloom"`: one Bloom filter built over the RAW prior hash stream
+    *    (`DataFrameStatFunctions.bloomFilter` — a treeAggregate straight
+    *    off the scan: no distinct shuffle, duplicate insertions are
+    *    harmless, and `n` oversizes conservatively from the row count),
+    *    broadcast once, probed by the narrow codegen'd
+    *    `bloom_might_contain` — NO join at all. APPROXIMATE on two
+    *    counts, both documented tradeoffs: false positives at `fpp` drop
+    *    new documents (never readmit known ones: no false negatives), and
+    *    membership is a single 64-bit non-crypto hash (not the exact
+    *    modes' guarded key — use an exact mode for adversarial inputs).
+    *    ~1.2 GB of bits per 10⁹ prior docs at fpp 1e-3: single-filter
+    *    practical ceiling ~10⁹–10¹⁰ priors; beyond that, shard the digest
+    *    space and gate each shard with its own filter.
+    *  - `"join"`: shuffle left join on the key — exact and unbounded;
+    *    both sides exchange ~24 B/row keys (never text), AQE splits any
     *    skew.
-    *  - `"auto"` (default): one count over the prior picks `broadcast`
-    *    under `maxBroadcastRows`, else `join` (bloom stays opt-in because
-    *    it changes semantics — approximate).
+    *  - `"auto"` (default): one `approx_count_distinct` pass over the
+    *    prior (partial agg, no wide shuffle, counts what would actually
+    *    be broadcast) picks `broadcast` under `maxBroadcastRows` (±few %
+    *    — set the limit with that margin), else `join`. Bloom stays
+    *    opt-in because it changes semantics — approximate.
     *
-    * The prior side is aggregated to DISTINCT digests in every mode, so a
-    * prior containing the same text a million times neither duplicates
+    * The prior side is aggregated to DISTINCT keys in the exact modes, so
+    * a prior containing the same text a million times neither duplicates
     * corpus rows through the join nor skews it. */
   def againstSnapshot(docs: DataFrame, idCol: String, textCol: String,
                       prior: DataFrame, priorTextCol: String,
                       mode: String = "auto",
                       maxBroadcastRows: Long = 10L * 1000 * 1000,
-                      expectedItems: Long = 0, fpp: Double = 1e-6): DataFrame = {
+                      expectedItems: Long = 0, fpp: Double = 1e-6,
+                      guardBytes: Int = 0): DataFrame = {
     require(Set("auto", "broadcast", "join", "bloom")(mode), s"unknown mode $mode")
-    val priorH = prior.select(
-        xxhash64(col(priorTextCol)).as("__h1"),
-        xxhash64(col(priorTextCol), lit(1)).as("__h2"))
-      .groupBy("__h1", "__h2").agg(lit(true).as("__p"))
+    def keyCols(t: Column): Seq[Column] = {
+      val base = Seq(xxhash64(t).as("__h1"), xxhash64(t, lit(1)).as("__h2"),
+        length(t).as("__len"))
+      if (guardBytes <= 0) base
+      else base ++ Seq(substring(t, 1, guardBytes).as("__head"),
+        substring(t, -guardBytes, guardBytes).as("__tail"))
+    }
+    val keyNames = Seq("__h1", "__h2", "__len") ++
+      (if (guardBytes <= 0) Nil else Seq("__head", "__tail"))
+    val priorH = prior.filter(col(priorTextCol).isNotNull)
+      .select(keyCols(col(priorTextCol)): _*)
+      .groupBy(keyNames.map(col): _*).agg(lit(true).as("__p"))
     val effective =
       if (mode != "auto") mode
-      else if (prior.select(col(priorTextCol))
-        .limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt)
-        .count() <= maxBroadcastRows) "broadcast"
-      else "join"
+      else {
+        val Array(row) = prior.filter(col(priorTextCol).isNotNull)
+          .agg(approx_count_distinct(col(priorTextCol))).collect()
+        if (row.getLong(0) <= maxBroadcastRows) "broadcast" else "join"
+      }
     if (effective == "bloom") {
+      val hashes = prior.filter(col(priorTextCol).isNotNull)
+        .select(xxhash64(col(priorTextCol)).as("__h1"))
       val n = if (expectedItems > 0) expectedItems
-        else math.max(1L, priorH.count())
-      val bloom = priorH.stat.bloomFilter(col("__h1"), n, fpp)
+        else math.max(1L, hashes.count())
+      val bloom = hashes.stat.bloomFilter(col("__h1"), n, fpp)
       val bc = docs.sparkSession.sparkContext.broadcast(bloom)
       docs.select(col(idCol),
-        graft.functions.SketchFunctions.bloom_might_contain(
-          xxhash64(col(textCol)), bc).as("in_prior"))
+        (col(textCol).isNotNull &&
+          graft.functions.SketchFunctions.bloom_might_contain(
+            xxhash64(col(textCol)), bc)).as("in_prior"))
     } else {
       val rhs = if (effective == "broadcast") broadcast(priorH) else priorH
-      docs.select(col(idCol),
-          xxhash64(col(textCol)).as("__h1"),
-          xxhash64(col(textCol), lit(1)).as("__h2"))
-        .join(rhs, Seq("__h1", "__h2"), "left")
-        .select(col(idCol), coalesce(col("__p"), lit(false)).as("in_prior"))
+      docs.select(col(idCol) +: col(textCol).as("__t") +:
+          keyCols(col(textCol)): _*)
+        .join(rhs, keyNames, "left")
+        .select(col(idCol),
+          (col("__t").isNotNull && coalesce(col("__p"), lit(false)))
+            .as("in_prior"))
     }
   }
 

@@ -174,20 +174,28 @@ object E2EPipeline {
     * `lmCut` bounds the corpus-likelihood score (docs scoring above it are
     * stopword-soup outliers, CCNet-style).
     *
-    * `materialize` is the STAGE-BOUNDARY hook applied once, to the
-    * extracted+repartitioned stream: the gate chain downstream branches
-    * over that stream many times (every verdict stage joins back to it),
-    * so without a boundary the WARC-read+parse lineage would re-execute
-    * once per branch — the plan-blowup failure mode composition exists to
-    * surface. Production passes a write-then-read of the extracted lake
-    * table (exactly [[ExtractPipeline.run]]'s commit point); the default
-    * localCheckpoint is the in-session equivalent (executor-local blocks:
-    * fast, not fault-tolerant — same caveat as connectedComponents'
-    * default). The snapshot preserves the doc_id partitioning, so every
-    * id-keyed join downstream still shuffles only its verdict side. */
+    * `materialize` is the EXTRACT stage-boundary hook, applied exactly
+    * once, to the extracted+repartitioned stream: the gate chain
+    * downstream branches over that stream many times (every verdict stage
+    * joins back to it), so without a boundary the WARC-read+parse lineage
+    * would re-execute once per branch — the plan-blowup failure mode
+    * composition exists to surface. Production passes a write-then-read
+    * of the extracted lake table (exactly [[ExtractPipeline.run]]'s
+    * commit point); the default localCheckpoint is the in-session
+    * equivalent (executor-local blocks: fast, not fault-tolerant — same
+    * caveat as connectedComponents' default). The snapshot preserves the
+    * doc_id partitioning, so every id-keyed join downstream still
+    * shuffles only its verdict side.
+    *
+    * `materializeDedup` is the second, SEPARATE boundary hook, applied
+    * exactly once to the post-line-dedup stream (production: the dedup
+    * stage's lake table). A separate parameter — not a second call to
+    * `materialize` — so a hook with applied-once semantics (a fixed
+    * lake-table path, a plan-inspection probe) composes correctly. */
   def survivors(spark: SparkSession, warcDir: String, robots: DataFrame,
                 sources: DataFrame, lmCut: Long,
-                materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+                materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+                materializeDedup: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val pages = WarcSource.read(spark, warcDir)
     // RFC 9309 gate: broadcast-compiled rules, narrow native predicate
     val admitted = Robots.filterAllowed(pages, robots, agent)
@@ -221,7 +229,7 @@ object E2EPipeline {
     // action), which measured ~3× the whole job's runtime at sf0.1.
     // Production materializes here too: the post-dedup stream is a lake
     // table (it IS the deliverable of the dedup stage).
-    val ld = materialize(Dedup.lineLevel(lmGated, "doc_id", "text")
+    val ld = materializeDedup(Dedup.lineLevel(lmGated, "doc_id", "text")
       .select(col("doc_id"), col("text")))
     // near-dup survivor selection: LSH pairs → components → keep cluster min
     val pairs = Dedup.minhashDedup(ld, "doc_id", "text",

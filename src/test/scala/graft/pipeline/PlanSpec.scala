@@ -361,15 +361,25 @@ class PlanSpec extends AnyFunSuite {
       // the wire exactly twice up to the stage-boundary materialization
       // (bucket salt + ONE doc_id partitioning)...
       var boundary = -1
+      var dedupBoundary = -1
       val surv = graft.pipeline.E2EPipeline.survivors(spark, s"$work/warc",
         graft.pipeline.E2EPipeline.robotsTable(spark),
         docs.select(col("doc_id"), col("source")), lmCut = 1000000000L,
         materialize = df => {
           boundary = corpusExchanges(df).size
           df.localCheckpoint(true)
+        },
+        materializeDedup = df => {
+          dedupBoundary = corpusExchanges(df).size
+          df.localCheckpoint(true)
         })
       assert(boundary >= 0 && boundary <= 2,
         s"extract stage moves corpus text/html through $boundary exchanges (want ≤2)")
+      // gate+line-dedup segment (extract snapshot → dedup snapshot): the
+      // drop-set join-back reuses the doc_id partitioning, so corpus text
+      // crosses ZERO further exchanges inside it
+      assert(dedupBoundary == 0,
+        s"gate+dedup stage moves corpus text through $dedupBoundary exchanges (want 0)")
       // ...and NEVER again: every id-keyed verdict stage downstream reuses
       // the snapshot's doc_id partitioning, so only verdict/drop-list rows
       // shuffle after the boundary
