@@ -570,6 +570,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.againstSnapshot(docs, "doc_id", "text", prior, "text").count() == 6)
   }
 
+  test("snapshot dedup: null texts match nothing (SQL equality semantics)") {
+    import spark.implicits._
+    val docs = Seq((1L, "shared text"), (2L, null: String), (3L, "only new"))
+      .toDF("doc_id", "text")
+    val prior = Seq("shared text", null: String).toDF("text")
+    val expected = Map(1L -> true, 2L -> false, 3L -> false)
+    for (mode <- Seq("broadcast", "join", "bloom")) {
+      val out = Dedup.againstSnapshot(docs, "doc_id", "text", prior, "text",
+          mode = mode)
+        .as[(Long, Boolean)].collect().toMap
+      assert(out == expected, s"mode $mode")
+    }
+  }
+
   test("snapshot dedup: empty prior flags nothing; bloom has no false negatives") {
     import spark.implicits._
     val docs = docsWithPlantedDups
