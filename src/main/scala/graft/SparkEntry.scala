@@ -930,7 +930,9 @@ object SparkEntry {
         |  text0 || chr(10) || 'Subscribe to the newsletter today' AS t FROM planted),
         |adm AS (SELECT * FROM ext WHERE NOT (
         |   (doc_id % 10 < 3 AND CAST(doc_id AS VARCHAR) LIKE '%2')
-        |   OR (doc_id % 10 >= 3 AND (doc_id % 97) % 4 = 0))),
+        |   OR (doc_id % 10 >= 3 AND (doc_id % 97) % 4 = 0)
+        |   OR (doc_id % 10 < 3 AND CAST(doc_id AS VARCHAR) LIKE '2%')
+        |   OR (doc_id % 10 >= 3 AND doc_id % 97 = 42))),
         |gw AS (SELECT doc_id, source, t,
         |    list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0) AS w,
         |    string_split(t, chr(10)) AS ln FROM adm),

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontamination, Dedup, Mixing, Packing, Robots, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Mixing, Packing, Robots, TextAnalysis, UrlFilter}
 import graft.sources.{Warc, WarcSource, WetSink}
 
 /** The COMPOSED end-to-end training-data job (VERDICT r04 "Next round" #1):
@@ -195,10 +195,15 @@ object E2EPipeline {
   def survivors(spark: SparkSession, warcDir: String, robots: DataFrame,
                 sources: DataFrame, lmCut: Long,
                 materialize: DataFrame => DataFrame = _.localCheckpoint(true),
-                materializeDedup: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+                materializeDedup: DataFrame => DataFrame = _.localCheckpoint(true),
+                blocklist: Option[DataFrame] = None): DataFrame = {
     val pages = WarcSource.read(spark, warcDir)
-    // RFC 9309 gate: broadcast-compiled rules, narrow native predicate
-    val admitted = Robots.filterAllowed(pages, robots, agent)
+    // RFC 9309 gate: broadcast-compiled rules, narrow native predicate;
+    // then the UT1-style URL blocklist gate when one is supplied — both
+    // are zero-exchange url-column predicates, free riders on the scan
+    val robotsAdmitted = Robots.filterAllowed(pages, robots, agent)
+    val admitted = blocklist.fold(robotsAdmitted)(bl =>
+      UrlFilter.filterBlocked(robotsAdmitted, bl))
     // salted extraction: exchange #1 (html)
     val bucketed = admitted
       .withColumn("bucket", ExtractPipeline.bucketCol(col("url"), 32, 16, 0))
@@ -270,13 +275,24 @@ object E2EPipeline {
     * gate non-vacuous at every SF. */
   val defaultLmCut = 27500L
 
+  /** URL blocklist fixture for the composed job: one whole-domain entry
+    * (host-42 serves no robots.txt, so only this gate removes it) and a
+    * path-prefix entry on the heavy host (/doc/2… ids). Both forward-
+    * modeled in the oracle's admission clause. */
+  def blocklistTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("host-42.example", null: String), ("heavy.example", "/doc/2"))
+      .toDF("domain", "path_prefix")
+  }
+
   def verified(spark: SparkSession, sfDir: String, lmCut: Long = defaultLmCut): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val planted = plantNearDups(docs)
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_${math.abs(sfDir.hashCode)}"
     writeWarcSegments(spark, planted, s"$work/warc")
     val surv = survivors(spark, s"$work/warc", robotsTable(spark),
-        docs.select(col("doc_id"), col("source")), lmCut)
+        docs.select(col("doc_id"), col("source")), lmCut,
+        blocklist = Some(blocklistTable(spark)))
       .localCheckpoint(true)
     val plan = Packing.chunkPlan(surv, "doc_id",
         TextAnalysis.tokenCount(col("text")), tokensPerChunk = 64)(spark)
