@@ -933,9 +933,11 @@ object SparkEntry {
         |   OR (doc_id % 10 >= 3 AND (doc_id % 97) % 4 = 0)
         |   OR (doc_id % 10 < 3 AND CAST(doc_id AS VARCHAR) LIKE '2%')
         |   OR (doc_id % 10 >= 3 AND doc_id % 97 = 42))),
+        |snapp AS (SELECT DISTINCT t FROM ext WHERE doc_id % 13 = 0),
+        |fresh AS (SELECT adm.* FROM adm ANTI JOIN snapp ON adm.t = snapp.t),
         |gw AS (SELECT doc_id, source, t,
         |    list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0) AS w,
-        |    string_split(t, chr(10)) AS ln FROM adm),
+        |    string_split(t, chr(10)) AS ln FROM fresh),
         |gop AS (SELECT doc_id, source, t FROM gw WHERE
         |    len(w) BETWEEN 25 AND 100000
         |    AND floor(length(regexp_replace(t, '\s', '', 'g')) * 100 / greatest(len(w),1)) BETWEEN 300 AND 1000

@@ -192,11 +192,18 @@ object E2EPipeline {
     * stage's lake table). A separate parameter — not a second call to
     * `materialize` — so a hook with applied-once semantics (a fixed
     * lake-table path, a plan-inspection probe) composes correctly. */
+  /** `priorSnapshot`, when supplied, is the PRIOR crawl's kept extracted
+    * texts (one `text` column): every current doc whose extracted text the
+    * prior already holds is dropped immediately after extraction — the
+    * monthly-recrawl incremental-dedup rule, applied as the FIRST content
+    * gate because it is the cheapest ([[Dedup.againstSnapshot]] broadcast
+    * mode: (id) verdicts, the text side never moves). */
   def survivors(spark: SparkSession, warcDir: String, robots: DataFrame,
                 sources: DataFrame, lmCut: Long,
                 materialize: DataFrame => DataFrame = _.localCheckpoint(true),
                 materializeDedup: DataFrame => DataFrame = _.localCheckpoint(true),
-                blocklist: Option[DataFrame] = None): DataFrame = {
+                blocklist: Option[DataFrame] = None,
+                priorSnapshot: Option[DataFrame] = None): DataFrame = {
     val pages = WarcSource.read(spark, warcDir)
     // RFC 9309 gate: broadcast-compiled rules, narrow native predicate;
     // then the UT1-style URL blocklist gate when one is supplied — both
@@ -215,9 +222,17 @@ object E2EPipeline {
     // exchange #2 (text): ONE doc_id partitioning reused by every id-keyed
     // stage below — their joins only ever shuffle the verdict side
     val stream = materialize(extracted.repartition(col("doc_id")))
+    // incremental cross-snapshot dedup against the prior crawl's kept
+    // texts (when provided) — exact broadcast mode, (id)-shaped verdicts
+    val fresh = priorSnapshot.fold(stream) { pr =>
+      val drop = Dedup.againstSnapshot(stream, "doc_id", "text", pr, "text",
+          mode = "broadcast")
+        .filter(col("in_prior")).select(col("doc_id"))
+      stream.join(drop, Seq("doc_id"), "left_anti")
+    }
     // Gopher rule battery, inline and narrow (no feature join-back);
     // minRequiredStops=0: the synthetic vocabulary carries no stop words
-    val gated = stream.filter(TextAnalysis.gopherPass(col("text"),
+    val gated = fresh.filter(TextAnalysis.gopherPass(col("text"),
       minWords = 25, minRequiredStops = 0))
     // corpus-likelihood gate: verdicts are (id) rows, semi-joined back
     val lm = TextAnalysis.unigramLikelihood(gated, "doc_id", "text")
@@ -290,9 +305,16 @@ object E2EPipeline {
     val planted = plantNearDups(docs)
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_${math.abs(sfDir.hashCode)}"
     writeWarcSegments(spark, planted, s"$work/warc")
+    // prior-crawl fixture: the %13 docs' extracted texts, synthesized
+    // INDEPENDENTLY of the job (title + article + banner line — the page
+    // recipe's known extraction), standing in for last month's kept set
+    val prior = planted.filter(col("doc_id") % 13 === 0)
+      .select(concat(lit("Synthetic corpus document number "), col("doc_id"),
+        lit("\n"), col("text"), lit("\n"), lit(banner)).as("text"))
     val surv = survivors(spark, s"$work/warc", robotsTable(spark),
         docs.select(col("doc_id"), col("source")), lmCut,
-        blocklist = Some(blocklistTable(spark)))
+        blocklist = Some(blocklistTable(spark)),
+        priorSnapshot = Some(prior))
       .localCheckpoint(true)
     val plan = Packing.chunkPlan(surv, "doc_id",
         TextAnalysis.tokenCount(col("text")), tokensPerChunk = 64)(spark)
