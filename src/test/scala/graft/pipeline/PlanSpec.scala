@@ -362,6 +362,13 @@ class PlanSpec extends AnyFunSuite {
       // (bucket salt + ONE doc_id partitioning)...
       var boundary = -1
       var dedupBoundary = -1
+      // prior-crawl snapshot covering the %13 docs (the extracted-text
+      // recipe): the snapshot gate must stay a broadcast verdict stage —
+      // (id) rows only — on top of the same doc_id partitioning
+      val prior = docs.filter(col("doc_id") % 13 === 0)
+        .select(concat(lit("Synthetic corpus document number "), col("doc_id"),
+          lit("\n"), col("text"), lit("\n"),
+          lit(graft.pipeline.E2EPipeline.banner)).as("text"))
       val surv = graft.pipeline.E2EPipeline.survivors(spark, s"$work/warc",
         graft.pipeline.E2EPipeline.robotsTable(spark),
         docs.select(col("doc_id"), col("source")), lmCut = 1000000000L,
@@ -372,7 +379,8 @@ class PlanSpec extends AnyFunSuite {
         materializeDedup = df => {
           dedupBoundary = corpusExchanges(df).size
           df.localCheckpoint(true)
-        })
+        },
+        priorSnapshot = Some(prior))
       assert(boundary >= 0 && boundary <= 2,
         s"extract stage moves corpus text/html through $boundary exchanges (want ≤2)")
       // gate+line-dedup segment (extract snapshot → dedup snapshot): the
