@@ -908,12 +908,16 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // The composed pipeline, forward-modeled stage by stage (each CTE block
     // reuses the already-proven oracle formulation of its operator):
-    // planted = near-dup fixture; ext = extraction model; adm = RFC 9309
-    // admission; gop = gopher battery (minWords=25, stops>=0); lmsc/lmk =
-    // corpus likelihood <= 27500; ld = line dedup; prs = exact-Jaccard
-    // pairs >= 0.8 over post-dedup shingles; reach/comp = connected
-    // components (keep cluster min); s8/bg/hits = k=8 decontamination vs
-    // the %53 bench docs; mix = LCG mixture sampling; chunk plan cumsum.
+    // planted = near-dup fixture; ext = extraction model (banner + %29==5
+    // PII paragraph); adm = RFC 9309 + URL-blocklist admission; snapp/fresh
+    // = prior-crawl snapshot dedup (%13 docs); lsc/lng = language-ID gate
+    // (keep docs whose en stopword count strictly wins, = langId 'en');
+    // gop = gopher battery (minWords=25, stops>=0); lmsc/lmk = corpus
+    // likelihood <= 27500; ld = line dedup; prs = exact-Jaccard pairs
+    // >= 0.8 over post-dedup shingles; reach/comp = connected components
+    // (keep cluster min); s8/bg/hits = k=8 decontamination vs the %53
+    // bench docs; mix = LCG mixture sampling; red = PII redaction (the
+    // publish-side scrub); chunk plan cumsum over redacted tokens.
     "e2e_pipeline" ->
       """WITH RECURSIVE planted AS (
         |  SELECT d.doc_id,
@@ -927,7 +931,10 @@ object SparkEntry {
         |   AND len(string_split(b.text, ' ')) >= 40),
         |ext AS (SELECT doc_id, source,
         |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-        |  text0 || chr(10) || 'Subscribe to the newsletter today' AS t FROM planted),
+        |  text0 || chr(10) ||
+        |  CASE WHEN doc_id % 29 = 5 THEN 'Contact me at agent' || CAST(doc_id AS VARCHAR)
+        |       || '@mail.example or 555-123-4567 right away' || chr(10) ELSE '' END ||
+        |  'Subscribe to the newsletter today' AS t FROM planted),
         |adm AS (SELECT * FROM ext WHERE NOT (
         |   (doc_id % 10 < 3 AND CAST(doc_id AS VARCHAR) LIKE '%2')
         |   OR (doc_id % 10 >= 3 AND (doc_id % 97) % 4 = 0)
@@ -935,9 +942,18 @@ object SparkEntry {
         |   OR (doc_id % 10 >= 3 AND doc_id % 97 = 42))),
         |snapp AS (SELECT DISTINCT t FROM ext WHERE doc_id % 13 = 0),
         |fresh AS (SELECT adm.* FROM adm ANTI JOIN snapp ON adm.t = snapp.t),
+        |lsc AS (SELECT doc_id, source, t,
+        |  len(list_filter(lws, x -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','für','auf','von'], x))) AS de,
+        |  len(list_filter(lws, x -> list_contains(['the','and','of','to','is','in','that','it','was','for','with','are'], x))) AS en,
+        |  len(list_filter(lws, x -> list_contains(['el','la','los','las','de','y','es','un','una','que','por','con'], x))) AS es,
+        |  len(list_filter(lws, x -> list_contains(['le','la','les','de','des','et','est','un','une','que','pour','dans'], x))) AS fr,
+        |  len(list_filter(lws, x -> list_contains(['il','la','di','e','che','un','una','per','con','del','sono','non'], x))) AS it
+        |  FROM (SELECT *, string_split_regex(lower(trim(t)), '\s+') AS lws FROM fresh)),
+        |lng AS (SELECT doc_id, source, t FROM lsc
+        |  WHERE en >= 1 AND en > de AND en > es AND en > fr AND en > it),
         |gw AS (SELECT doc_id, source, t,
         |    list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0) AS w,
-        |    string_split(t, chr(10)) AS ln FROM fresh),
+        |    string_split(t, chr(10)) AS ln FROM lng),
         |gop AS (SELECT doc_id, source, t FROM gw WHERE
         |    len(w) BETWEEN 25 AND 100000
         |    AND floor(length(regexp_replace(t, '\s', '', 'g')) * 100 / greatest(len(w),1)) BETWEEN 300 AND 1000
@@ -979,8 +995,11 @@ object SparkEntry {
         |mix AS (SELECT c.doc_id, c.t2 FROM clean c JOIN documents d USING (doc_id)
         |        WHERE ((c.doc_id * 1103515245 + 12345) % 2147483648) % 1000000 <
         |          CAST(1000000 * (CASE d.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.125 END) AS BIGINT)),
-        |ck AS (SELECT doc_id, t2, len(list_filter(string_split_regex(t2, '\s+'), x -> length(x) > 0)) AS tokens FROM mix)
-        |SELECT doc_id, t2 AS text, CAST(tokens AS BIGINT) AS tokens,
+        |red AS (SELECT doc_id, regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t3 FROM mix),
+        |ck AS (SELECT doc_id, t3, len(list_filter(string_split_regex(t3, '\s+'), x -> length(x) > 0)) AS tokens FROM red)
+        |SELECT doc_id, t3 AS text, CAST(tokens AS BIGINT) AS tokens,
         |  CAST(ceil(tokens / 64.0) AS BIGINT) AS chunks,
         |  CAST(coalesce(sum(CAST(ceil(tokens / 64.0) AS BIGINT)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_start
         |FROM ck ORDER BY doc_id""".stripMargin,

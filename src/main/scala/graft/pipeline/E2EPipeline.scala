@@ -10,10 +10,11 @@ import graft.sources.{Warc, WarcSource, WetSink}
   * pipeline runs them —
   *
   * {{{
-  * WARC segments → WarcSource.read → robots gate → salted extract
+  * WARC segments → WarcSource.read → robots gate → URL blocklist gate
+  *   → salted extract → prior-crawl snapshot dedup → language-ID gate
   *   → gopher rule gate → corpus-likelihood gate → line-level dedup
   *   → MinHash-LSH + connected components (survivor selection)
-  *   → benchmark decontamination → mixture sampling
+  *   → benchmark decontamination → mixture sampling → PII redaction
   *   → tokenizer chunk plan → WET sink
   * }}}
   *
@@ -97,9 +98,16 @@ object E2EPipeline {
     rows.toDF("host", "robots_txt")
   }
 
+  /** PII paragraph planted on every doc_id % 29 == 5 page (one email + one
+    * phone, both shaped to the [[graft.operators.TextAnalysis.redactPii]]
+    * patterns): the composed job's redaction stage must scrub exactly these
+    * and nothing else — exercised on ~3% of rows instead of zero. */
+  def piiLine(id: Long): String =
+    s"Contact me at agent$id@mail.example or 555-123-4567 right away"
+
   /** Bump when [[writeWarcSegments]]' page/record recipe changes — part of
     * the fixture-cache marker name. */
-  val fixtureVersion = "v2"
+  val fixtureVersion = "v3"
 
   /** Deterministic WARC fixture segments: docs grouped by doc_id % segments,
     * sorted within a segment, one WARC/1.0 file per segment (member-gzip on
@@ -137,9 +145,11 @@ object E2EPipeline {
           // the banner rides as its OWN <p> block inside the article: the
           // extractor emits block boundaries as newlines (inline text
           // newlines are whitespace per HTML), so the extracted text gains
-          // a deduplicatable banner LINE on every page
+          // a deduplicatable banner LINE on every page; %29==5 pages also
+          // carry a PII paragraph the redaction stage must scrub
+          val pii = if (id % 29 == 5) s"<p>${piiLine(id)}</p>" else ""
           val html = SynthCorpus.pageHtml(id, t).replace("</article></main>",
-            s"<p>$banner</p></article></main>")
+            s"$pii<p>$banner</p></article></main>")
           (SynthCorpus.url(id), iso, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         val bytes = Warc.buildFile(recs.toSeq, gzipPerRecord = seg % 2 == 1)
@@ -198,12 +208,17 @@ object E2EPipeline {
     * monthly-recrawl incremental-dedup rule, applied as the FIRST content
     * gate because it is the cheapest ([[Dedup.againstSnapshot]] broadcast
     * mode: (id) verdicts, the text side never moves). */
+  /** `keepLangs`, when supplied, gates the extracted stream on the n-gram
+    * language-ID heuristic ([[TextAnalysis.langId]]) — the CCNet/C4 "keep
+    * the target languages" rule, a narrow codegen'd predicate riding the
+    * doc_id-partitioned stream (zero exchange). */
   def survivors(spark: SparkSession, warcDir: String, robots: DataFrame,
                 sources: DataFrame, lmCut: Long,
                 materialize: DataFrame => DataFrame = _.localCheckpoint(true),
                 materializeDedup: DataFrame => DataFrame = _.localCheckpoint(true),
                 blocklist: Option[DataFrame] = None,
-                priorSnapshot: Option[DataFrame] = None): DataFrame = {
+                priorSnapshot: Option[DataFrame] = None,
+                keepLangs: Option[Seq[String]] = None): DataFrame = {
     val pages = WarcSource.read(spark, warcDir)
     // RFC 9309 gate: broadcast-compiled rules, narrow native predicate;
     // then the UT1-style URL blocklist gate when one is supplied — both
@@ -230,9 +245,13 @@ object E2EPipeline {
         .filter(col("in_prior")).select(col("doc_id"))
       stream.join(drop, Seq("doc_id"), "left_anti")
     }
+    // language gate (when configured): narrow stopword-profile argmax,
+    // another free rider on the partitioned stream
+    val langed = keepLangs.fold(fresh)(ls =>
+      fresh.filter(TextAnalysis.langId(col("text")).isin(ls: _*)))
     // Gopher rule battery, inline and narrow (no feature join-back);
     // minRequiredStops=0: the synthetic vocabulary carries no stop words
-    val gated = fresh.filter(TextAnalysis.gopherPass(col("text"),
+    val gated = langed.filter(TextAnalysis.gopherPass(col("text"),
       minWords = 25, minRequiredStops = 0))
     // corpus-likelihood gate: verdicts are (id) rows, semi-joined back
     val lm = TextAnalysis.unigramLikelihood(gated, "doc_id", "text")
@@ -270,9 +289,13 @@ object E2EPipeline {
     // partitioned on doc_id), oracle-replicable LCG hash
     val withSource = clean.join(sources, Seq("doc_id"))
     val lcg = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    // PII redaction is the LAST rewrite before the sink (the standard
+    // publish-side rule: emails/phones never reach the training stream) —
+    // a codegen'd regexp pair, narrow, identity on clean text
     Mixing.sampleBySource(withSource, "source",
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), 0.125, lcg)
-      .select(col("doc_id"), urlOf(col("doc_id")).as("url"), col("text"))
+      .select(col("doc_id"), urlOf(col("doc_id")).as("url"),
+        TextAnalysis.redactPii(col("text")).as("text"))
   }
 
   /** The equivalence-harness wrapper for the driver query: synthesize the
@@ -310,11 +333,17 @@ object E2EPipeline {
     // recipe's known extraction), standing in for last month's kept set
     val prior = planted.filter(col("doc_id") % 13 === 0)
       .select(concat(lit("Synthetic corpus document number "), col("doc_id"),
-        lit("\n"), col("text"), lit("\n"), lit(banner)).as("text"))
+        lit("\n"), col("text"),
+        when(col("doc_id") % 29 === 5,
+          concat(lit("\nContact me at agent"), col("doc_id"),
+            lit("@mail.example or 555-123-4567 right away")))
+          .otherwise(lit("")),
+        lit("\n"), lit(banner)).as("text"))
     val surv = survivors(spark, s"$work/warc", robotsTable(spark),
         docs.select(col("doc_id"), col("source")), lmCut,
         blocklist = Some(blocklistTable(spark)),
-        priorSnapshot = Some(prior))
+        priorSnapshot = Some(prior),
+        keepLangs = Some(Seq("en")))
       .localCheckpoint(true)
     val plan = Packing.chunkPlan(surv, "doc_id",
         TextAnalysis.tokenCount(col("text")), tokensPerChunk = 64)(spark)

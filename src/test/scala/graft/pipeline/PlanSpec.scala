@@ -380,7 +380,8 @@ class PlanSpec extends AnyFunSuite {
           dedupBoundary = corpusExchanges(df).size
           df.localCheckpoint(true)
         },
-        priorSnapshot = Some(prior))
+        priorSnapshot = Some(prior),
+        keepLangs = Some(Seq("en", "und")))
       assert(boundary >= 0 && boundary <= 2,
         s"extract stage moves corpus text/html through $boundary exchanges (want ≤2)")
       // gate+line-dedup segment (extract snapshot → dedup snapshot): the
