@@ -1024,21 +1024,22 @@ object SparkEntry {
         |  coalesce(dn.dropped_n, 0) AS paras_dropped
         |FROM d LEFT JOIN outv USING (doc_id) LEFT JOIN dn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    // ExactSubstr at k=3: positioned 62-bit k-gram hashes (same Karp–Rabin
-    // dialect as dedup_minhash — concatenation WITHOUT separator), first
-    // occurrence = min (doc_id, pos), non-first occurrences' [pos, pos+3)
-    // token windows removed, text rebuilt from survivors.
+    // ExactSubstr at k=3: positioned 62-bit k-gram hashes over the
+    // SPACE-JOINED span (the pre-image is the verbatim span text, so
+    // distinct token sequences never alias — removal semantics demand it),
+    // first occurrence = min (doc_id, pos), non-first occurrences'
+    // [pos, pos+3) token windows removed, text rebuilt from survivors.
     "dedup_substring" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(len(w) - 2),
         |        i -> struct_pack(pos := i,
         |          h := (list_reduce(list_concat([CAST(0 AS BIGINT)],
-        |                 list_transform(range(length(w[i+1] || w[i+2] || w[i+3])), ci ->
-        |                   CAST(ascii((w[i+1] || w[i+2] || w[i+3])[ci+1]) AS BIGINT))),
+        |                 list_transform(range(length(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])), ci ->
+        |                   CAST(ascii((w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])[ci+1]) AS BIGINT))),
         |                 (a, c) -> (a * 37 + c) % 2147483647) << 31)
         |              | list_reduce(list_concat([CAST(0 AS BIGINT)],
-        |                 list_transform(range(length(w[i+1] || w[i+2] || w[i+3])), ci ->
-        |                   CAST(ascii((w[i+1] || w[i+2] || w[i+3])[ci+1]) AS BIGINT))),
+        |                 list_transform(range(length(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])), ci ->
+        |                   CAST(ascii((w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])[ci+1]) AS BIGINT))),
         |                 (a, c) -> (a * 31 + c) % 2147483647)))) AS e
         |      FROM t WHERE len(w) >= 3),
         |o AS (SELECT doc_id, e.pos AS pos, e.h AS h FROM g),

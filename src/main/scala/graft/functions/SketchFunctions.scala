@@ -91,10 +91,45 @@ object Sketch {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
-  /** POSITIONED k-word shingle hashes: out(i) = hash62 of words[i, i+k) —
-    * NOT distinct (the span-level dedup operator needs every occurrence's
-    * token offset). Same 31/37 Mersenne-31 dialect as [[wordShingles]], so
-    * the DuckDB oracle recomputes identical values. */
+  /** 62-bit polynomial hash of the SPACE-JOINED words[from, from+k) — the
+    * pre-image is the verbatim span text, so distinct token sequences can
+    * never alias ("ab c d" vs "a bc d" concatenate to the same "abcd"
+    * under [[shingleHash]] but hash differently here; words cannot contain
+    * the space separator, so the join is injective). Required by span
+    * REMOVAL semantics ([[graft.operators.Dedup.substringLevel]]): a
+    * systematic alias there deletes text that was never duplicated. The
+    * set-similarity operators keep the separator-free dialect — an alias
+    * only perturbs a Jaccard estimate. */
+  private def shingleHashJoined(words: Array[String], from: Int, k: Int): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var wi = from
+    val end = from + k
+    while (wi < end) {
+      if (wi > from) {
+        h1 = (h1 * 31 + 32) % Mersenne31 // ' '
+        h2 = (h2 * 37 + 32) % Mersenne31
+      }
+      val w = words(wi)
+      var ci = 0
+      val wn = w.length
+      while (ci < wn) {
+        val c = w.charAt(ci).toLong
+        h1 = (h1 * 31 + c) % Mersenne31
+        h2 = (h2 * 37 + c) % Mersenne31
+        ci += 1
+      }
+      wi += 1
+    }
+    (h2 << 31) | h1
+  }
+
+  /** POSITIONED k-word shingle hashes: out(i) = hash62 of the SPACE-JOINED
+    * span words[i, i+k) — NOT distinct (the span-level dedup operator
+    * needs every occurrence's token offset). Same 31/37 Mersenne-31
+    * arithmetic as [[wordShingles]] but over the joined span (see
+    * [[shingleHashJoined]]); the DuckDB oracle recomputes identical values
+    * from `w[i] || ' ' || …`. */
   def wordShinglesPos(text: UTF8String, k: Int): ArrayData = {
     val words = splitSpace(text.toString)
     val n = words.length
@@ -102,7 +137,7 @@ object Sketch {
     val out = new Array[Long](n - k + 1)
     var i = 0
     while (i <= n - k) {
-      out(i) = shingleHash(words, i, k)
+      out(i) = shingleHashJoined(words, i, k)
       i += 1
     }
     new GenericArrayData(out)

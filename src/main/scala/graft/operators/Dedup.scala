@@ -466,8 +466,10 @@ object Dedup {
     * The paper's suffix-array formulation is a single-machine algorithm —
     * the k-gram-anchored reformulation is what distributes.
     *
-    * Hash identity is the 62-bit portable dialect (SQL-recomputable — the
-    * oracle depends on it); at 10^13 grams, birthday collisions are
+    * Hash identity is the 62-bit portable dialect over the SPACE-JOINED
+    * span (SQL-recomputable — the oracle depends on it; the join makes the
+    * pre-image the verbatim span text, so distinct token sequences never
+    * alias systematically); at 10^13 grams, birthday collisions are still
     * expected (~10^26/2^62 pairs) — each false match removes one k-token
     * span, a negligible, non-adversarial data loss; swap the kernel's
     * dialect for a 128-bit hash when oracle parity is not required.
@@ -529,7 +531,16 @@ object Dedup {
     * as a RELIABLE checkpoint under that directory (set once per
     * SparkContext via setCheckpointDir), so a lost executor recomputes from
     * the checkpoint instead of failing the run. Cost: one distributed
-    * write + read of the (id,label) pairs per round — 16 B/row. */
+    * write + read of the (id,label) pairs per round — 16 B/row.
+    * Storage lifecycle: round N's checkpoint files are DELETED as soon as
+    * round N+1's are materialized (Spark itself only reclaims checkpoints
+    * via `spark.cleaner.referenceTracking.cleanCheckpoints` + GC, i.e.
+    * effectively never inside one long application — fifty 16 GB rounds
+    * at 10⁹ docs would otherwise sit in the directory for the app's
+    * lifetime). What remains afterwards: the symmetric edge list (live for
+    * every round) and the FINAL labels — the returned DataFrame reads that
+    * file, so the caller owns its deletion (drop it with the checkpoint
+    * dir once the result is consumed/persisted). */
   def connectedComponents(pairs: DataFrame, id1Col: String = "id1",
                           id2Col: String = "id2", maxRounds: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -551,12 +562,26 @@ object Dedup {
     }
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // reliable mode: the checkpoint file backing an eager-checkpointed
+    // frame (its analyzed plan is the LogicalRDD over the checkpointed
+    // RDD); used to reclaim round N-1 once round N is materialized
+    def ckptFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }.flatMap(_.rdd.getCheckpointFile)
+    def deleteCkpt(file: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(file)
+        p.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case _: java.io.IOException => () } // best-effort reclaim
     // symmetric edge list: labels must flow both directions
     val fwd = pairs.select(col(id1Col).cast("long").as("src"),
       col(id2Col).cast("long").as("dst"))
     val edges = snap(fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = snap(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
+    var prevLabelsFile = if (reliable) ckptFile(labels) else None
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -566,6 +591,12 @@ object Dedup {
         .groupBy("id").agg(min(col("label")).as("label")))
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      // round N-1's labels are no longer referenced by anything (`next`
+      // is materialized, `changed` consumed) — reclaim now, not at GC
+      if (reliable) {
+        prevLabelsFile.foreach(deleteCkpt)
+        prevLabelsFile = ckptFile(next)
+      }
       labels = next
       converged = changed == 0
       round += 1

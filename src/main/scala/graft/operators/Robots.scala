@@ -144,17 +144,32 @@ object Robots {
     if (sawSpecific) Rules(specific) else Rules(wildcard)
   }
 
-  /** Path+query of a URL as robots matching input ("/", if none). */
+  /** Path+query of a URL as robots matching input ("/", if none). The
+    * authority ends at the FIRST of '/', '?', '#' — scanning for '/'
+    * alone would return query/fragment content as the "path" for URLs
+    * like `https://h?x=/forum/t` (real path "/", query happens to contain
+    * a slash), turning a '/forum/' rule into a false match; the host
+    * parser ([[hostOf]]) already stops at the same boundary, so path and
+    * host must agree on where the authority ends. Fragments are never
+    * sent to servers and are excluded; a query with no path slash yields
+    * "/?query". */
   private[operators] def pathOf(url: String): String = {
     val ss = url.indexOf("://")
-    val start = if (ss >= 0) {
-      val i = url.indexOf('/', ss + 3)
-      if (i < 0) return "/"
-      i
-    } else 0
-    val hash = url.indexOf('#', start)
-    val end = if (hash >= 0) hash else url.length
-    url.substring(start, end)
+    if (ss >= 0) {
+      var i = ss + 3
+      val n = url.length
+      while (i < n && url.charAt(i) != '/' && url.charAt(i) != '?' &&
+             url.charAt(i) != '#') i += 1
+      if (i >= n || url.charAt(i) == '#') return "/"
+      val hash = url.indexOf('#', i)
+      val end = if (hash >= 0) hash else n
+      if (url.charAt(i) == '?') "/" + url.substring(i, end)
+      else url.substring(i, end)
+    } else {
+      val hash = url.indexOf('#')
+      val end = if (hash >= 0) hash else url.length
+      url.substring(0, end)
+    }
   }
 
   /** Bare host of a URL — userinfo and port STRIPPED, "" when there is

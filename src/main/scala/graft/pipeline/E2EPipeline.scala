@@ -102,8 +102,22 @@ object E2EPipeline {
     * phone, both shaped to the [[graft.operators.TextAnalysis.redactPii]]
     * patterns): the composed job's redaction stage must scrub exactly these
     * and nothing else — exercised on ~3% of rows instead of zero. */
-  def piiLine(id: Long): String =
-    s"Contact me at agent$id@mail.example or 555-123-4567 right away"
+  val piiPrefix = "Contact me at agent"
+  val piiSuffix = "@mail.example or 555-123-4567 right away"
+  def piiLine(id: Long): String = s"$piiPrefix$id$piiSuffix"
+
+  /** The page recipe's known extracted text, as a column: title line +
+    * article text + the %29==5 PII line + banner — what
+    * [[writeWarcSegments]]' pages extract to. The prior-snapshot fixtures
+    * synthesize "last month's kept set" from THIS helper so the recipe
+    * exists once; a recipe change that forgot one copy would silently
+    * stop the %13 docs matching the prior and fail the equivalence run
+    * with a confusing survivor diff. */
+  def extractedTextOf(id: Column, text: Column): Column =
+    concat(lit("Synthetic corpus document number "), id, lit("\n"), text,
+      when(id % 29 === 5,
+        concat(lit("\n" + piiPrefix), id, lit(piiSuffix))).otherwise(lit("")),
+      lit("\n" + banner))
 
   /** Bump when [[writeWarcSegments]]' page/record recipe changes — part of
     * the fixture-cache marker name. */
@@ -135,6 +149,13 @@ object E2EPipeline {
       s"$outDir/_DONE-$fixtureVersion-$segments-$fp")
     val mfs = marker.getFileSystem(conf.value)
     if (mfs.exists(marker)) return
+    // marker absent/mismatched: clear the WHOLE fixture dir before
+    // regenerating — per-segment rename only replaces residue classes the
+    // NEW corpus populates, so a shrunk/re-sharded corpus would leave old
+    // segment files (and stale markers) for WarcSource.read to ingest as
+    // ghost documents the oracle doesn't model
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    mfs.delete(outPath, true)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .groupByKey(_._1 % segments)
       .mapGroups { (seg, it) =>
@@ -332,13 +353,7 @@ object E2EPipeline {
     // INDEPENDENTLY of the job (title + article + banner line — the page
     // recipe's known extraction), standing in for last month's kept set
     val prior = planted.filter(col("doc_id") % 13 === 0)
-      .select(concat(lit("Synthetic corpus document number "), col("doc_id"),
-        lit("\n"), col("text"),
-        when(col("doc_id") % 29 === 5,
-          concat(lit("\nContact me at agent"), col("doc_id"),
-            lit("@mail.example or 555-123-4567 right away")))
-          .otherwise(lit("")),
-        lit("\n"), lit(banner)).as("text"))
+      .select(extractedTextOf(col("doc_id"), col("text")).as("text"))
     val surv = survivors(spark, s"$work/warc", robotsTable(spark),
         docs.select(col("doc_id"), col("source")), lmCut,
         blocklist = Some(blocklistTable(spark)),

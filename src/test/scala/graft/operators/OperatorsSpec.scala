@@ -490,6 +490,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out._4 == 4)
   }
 
+  test("substring dedup: space-shifted spans never alias (joined-span hash)") {
+    import spark.implicits._
+    // 'ab c d' and 'a bc d' concatenate to the same 'abcd' — a
+    // separator-free k-gram hash removes B's span as a phantom duplicate
+    // of text that never occurred verbatim. The joined-span pre-image
+    // keeps them distinct; only the genuinely shared tail dedupes.
+    val rows = Seq(
+      (0L, "ab c d shared tail words here"),
+      (1L, "a bc d shared tail words here")).toDF("doc_id", "text")
+    val out = Dedup.substringLevel(rows, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "ab c d shared tail words here" && out(0L)._4 == 0)
+    // doc 1 keeps its distinct head 'a bc' (under the aliased hash the
+    // head gram (a bc d) collided with doc 0's (ab c d) and was phantom-
+    // deleted too); the genuinely duplicated tail grams at positions 2-4
+    // cover tokens 2..6, which drop
+    assert(out(1L)._2 == "a bc" && out(1L)._4 == 5,
+      s"distinct head must survive, verbatim tail must drop: ${out(1L)}")
+  }
+
   test("connected components: reliable checkpoint path matches localCheckpoint") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
@@ -505,6 +525,17 @@ class OperatorsSpec extends AnyFunSuite {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, s"no reliable checkpoint files under $dir")
+    // ...and reclaimed every intermediate round: the 1-2-3-4-5 chain takes
+    // several rounds, but only the edge list and the FINAL labels may
+    // remain (intermediate rounds would otherwise accumulate for the
+    // application lifetime — Spark never cleans them itself)
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).toList
+    assert(rddDirs.size <= 2,
+      s"stale checkpoint rounds not reclaimed: ${rddDirs.mkString(", ")}")
   }
 
   test("dup n-gram stats: invariant under the hot/cold split point") {

@@ -21,6 +21,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(patternMatches("", "/x"))
   }
 
+  test("robots path input: authority ends at '?'/'#', query rides along") {
+    val rules = Map("h.example" ->
+      parse("User-agent: *\nDisallow: /forum/\n", "graftbot"))
+    // query/fragment slashes are NOT the path — real path is "/"
+    assert(Robots.urlAllowed(rules, "https://h.example?x=/forum/t"))
+    assert(Robots.urlAllowed(rules, "https://h.example#/forum/"))
+    assert(!Robots.urlAllowed(rules, "https://h.example/forum/t"))
+    // query participates in matching when a path exists ($-anchored rules)
+    val anchored = Map("h.example" ->
+      parse("User-agent: *\nDisallow: /*.pdf$\n", "graftbot"))
+    assert(!Robots.urlAllowed(anchored, "https://h.example/a.pdf"))
+    assert(Robots.urlAllowed(anchored, "https://h.example/a.pdf?dl=1"))
+  }
+
   test("longest match wins; allow wins ties; default allow") {
     val r = parse(
       """User-agent: *

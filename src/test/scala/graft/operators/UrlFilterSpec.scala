@@ -42,6 +42,19 @@ class UrlFilterSpec extends AnyFunSuite {
     assert(b.blocked("https://example.com/forum/?page=2"))
   }
 
+  test("authority ends at '?'/'#': query/fragment slashes are not the path") {
+    val b = bl(("example.com", "/forum/"))
+    // real path is "/" — the '/forum/' inside query/fragment must not match
+    assert(!b.blocked("https://example.com?x=/forum/t"))
+    assert(!b.blocked("https://example.com#/forum/"))
+    // but a query rides along when there IS a matching path
+    assert(b.blocked("https://example.com/forum/x#/sec"))
+    // query-only url still matches a query-shaped prefix
+    val q = bl(("example.com", "/?session="))
+    assert(q.blocked("https://example.com?session=abc"))
+    assert(!q.blocked("https://example.com/page?session=abc"))
+  }
+
   test("multiple entries per domain union; whole-domain subsumes prefixes") {
     val b = bl(("e.com", "/a/"), ("e.com", "/b/"))
     assert(b.blocked("https://e.com/a/x") && b.blocked("https://e.com/b/"))

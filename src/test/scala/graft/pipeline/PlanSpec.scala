@@ -366,9 +366,8 @@ class PlanSpec extends AnyFunSuite {
       // recipe): the snapshot gate must stay a broadcast verdict stage —
       // (id) rows only — on top of the same doc_id partitioning
       val prior = docs.filter(col("doc_id") % 13 === 0)
-        .select(concat(lit("Synthetic corpus document number "), col("doc_id"),
-          lit("\n"), col("text"), lit("\n"),
-          lit(graft.pipeline.E2EPipeline.banner)).as("text"))
+        .select(graft.pipeline.E2EPipeline
+          .extractedTextOf(col("doc_id"), col("text")).as("text"))
       val surv = graft.pipeline.E2EPipeline.survivors(spark, s"$work/warc",
         graft.pipeline.E2EPipeline.robotsTable(spark),
         docs.select(col("doc_id"), col("source")), lmCut = 1000000000L,
