@@ -81,8 +81,14 @@ object Bench {
       val d = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
       if (new java.io.File(d).isDirectory) d else sfDir
     }
+    // optional comma-separated query filter (SPARK_GRAFT_ONLY=e2e_pipeline)
+    // for targeted re-benching after a change to a composed job's stage
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
     var warmFailed = 0
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => warmFailed += 1 }
     }
     if (warmFailed > 0)
@@ -92,7 +98,7 @@ object Bench {
     // VISIBLE: its time-to-failure is not a timing, so it is excluded from
     // the queries map and reported in a failed list instead.
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

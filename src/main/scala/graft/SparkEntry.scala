@@ -913,7 +913,7 @@ object SparkEntry {
     // = prior-crawl snapshot dedup (%13 docs); lsc/lng = language-ID gate
     // (keep docs whose en stopword count strictly wins, = langId 'en');
     // gop = gopher battery (minWords=25, stops>=0); lmsc/lmk = corpus
-    // likelihood <= 27500; ld = line dedup; prs = exact-Jaccard pairs
+    // likelihood <= 27400; ld = line dedup; prs = exact-Jaccard pairs
     // >= 0.8 over post-dedup shingles; reach/comp = connected components
     // (keep cluster min); s8/bg/hits = k=8 decontamination vs the %53
     // bench docs; mix = LCG mixture sampling; red = PII redaction (the
@@ -966,7 +966,7 @@ object SparkEntry {
         |tot AS (SELECT count(*) n FROM tok),
         |lmsc AS (SELECT doc_id, CAST(sum(c * 1000000 // n) // count(*) AS BIGINT) AS score
         |       FROM tok JOIN cnts USING (w) CROSS JOIN tot GROUP BY doc_id),
-        |lmk AS (SELECT g.* FROM gop g JOIN lmsc USING (doc_id) WHERE lmsc.score <= 27500),
+        |lmk AS (SELECT g.* FROM gop g JOIN lmsc USING (doc_id) WHERE lmsc.score <= 27400),
         |arr AS (SELECT doc_id, source, t, string_split(t, chr(10)) AS a FROM lmk),
         |ln2 AS (SELECT doc_id, unnest(list_transform(range(len(a)), i -> struct_pack(idx := i, line := a[i+1]))) AS e FROM arr),
         |l AS (SELECT doc_id, e.idx idx, e.line line FROM ln2),

@@ -226,13 +226,20 @@ object E2EPipeline {
   /** `priorSnapshot`, when supplied, is the PRIOR crawl's kept extracted
     * texts (one `text` column): every current doc whose extracted text the
     * prior already holds is dropped immediately after extraction — the
-    * monthly-recrawl incremental-dedup rule, applied as the FIRST content
-    * gate because it is the cheapest ([[Dedup.againstSnapshot]] broadcast
-    * mode: (id) verdicts, the text side never moves). */
-  /** `keepLangs`, when supplied, gates the extracted stream on the n-gram
-    * language-ID heuristic ([[TextAnalysis.langId]]) — the CCNet/C4 "keep
-    * the target languages" rule, a narrow codegen'd predicate riding the
-    * doc_id-partitioned stream (zero exchange). */
+    * monthly-recrawl incremental-dedup rule, the first gate past the
+    * extract boundary ([[Dedup.againstSnapshot]] broadcast mode: (id)
+    * verdicts, the text side never moves; it must sit AFTER the boundary
+    * because its drop side derives from the stream itself — inside one
+    * action the self-referential branch would execute the extraction
+    * lineage twice). */
+  /** `keepLangs`, when supplied, gates on the n-gram language-ID heuristic
+    * ([[TextAnalysis.langId]]) — the CCNet/C4 "keep the target languages"
+    * rule. Applied BEFORE the extract stage boundary (production writes
+    * per-language lake tables at the extraction commit, CCNet-style): the
+    * predicate is narrow either way, but between the boundaries it would
+    * re-execute once per downstream action — the composed-job lineage-
+    * re-execution failure mode this file documents at `materializeDedup`
+    * (measured: moving it inside the boundary halved the composed job). */
   def survivors(spark: SparkSession, warcDir: String, robots: DataFrame,
                 sources: DataFrame, lmCut: Long,
                 materialize: DataFrame => DataFrame = _.localCheckpoint(true),
@@ -255,9 +262,13 @@ object E2EPipeline {
       .filter(col("ok"))
       .withColumn("doc_id", regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"))
       .select(col("doc_id"), col("text"))
+    // language gate: narrow argmax over stopword profiles, a free rider
+    // on the extraction stage — INSIDE the boundary, so it runs once
+    val langed = keepLangs.fold(extracted)(ls =>
+      extracted.filter(TextAnalysis.langId(col("text")).isin(ls: _*)))
     // exchange #2 (text): ONE doc_id partitioning reused by every id-keyed
     // stage below — their joins only ever shuffle the verdict side
-    val stream = materialize(extracted.repartition(col("doc_id")))
+    val stream = materialize(langed.repartition(col("doc_id")))
     // incremental cross-snapshot dedup against the prior crawl's kept
     // texts (when provided) — exact broadcast mode, (id)-shaped verdicts
     val fresh = priorSnapshot.fold(stream) { pr =>
@@ -266,13 +277,9 @@ object E2EPipeline {
         .filter(col("in_prior")).select(col("doc_id"))
       stream.join(drop, Seq("doc_id"), "left_anti")
     }
-    // language gate (when configured): narrow stopword-profile argmax,
-    // another free rider on the partitioned stream
-    val langed = keepLangs.fold(fresh)(ls =>
-      fresh.filter(TextAnalysis.langId(col("text")).isin(ls: _*)))
     // Gopher rule battery, inline and narrow (no feature join-back);
     // minRequiredStops=0: the synthetic vocabulary carries no stop words
-    val gated = langed.filter(TextAnalysis.gopherPass(col("text"),
+    val gated = fresh.filter(TextAnalysis.gopherPass(col("text"),
       minWords = 25, minRequiredStops = 0))
     // corpus-likelihood gate: verdicts are (id) rows, semi-joined back
     val lm = TextAnalysis.unigramLikelihood(gated, "doc_id", "text")
@@ -328,11 +335,12 @@ object E2EPipeline {
     * surviving doc with the WET-roundtripped text and its global chunk
     * offsets — everything the DuckDB oracle forward-models. */
   /** Default corpus-likelihood cut: ~p85 of the post-gopher score
-    * distribution on the synthetic corpora (measured 22.4k–28.3k across
-    * SFs) — drops the stopword-soup tail without emptying the stream. Any
-    * constant is CORRECT (the oracle recomputes it); this one keeps the
-    * gate non-vacuous at every SF. */
-  val defaultLmCut = 27500L
+    * distribution on the synthetic corpora (re-measured after the PII
+    * plant and language gate shifted token frequencies: p85 = 27363–27426
+    * across the three SFs) — drops the stopword-soup tail without
+    * emptying the stream. Any constant is CORRECT (the oracle recomputes
+    * it); this one keeps the gate non-vacuous at every SF. */
+  val defaultLmCut = 27400L
 
   /** URL blocklist fixture for the composed job: one whole-domain entry
     * (host-42 serves no robots.txt, so only this gate removes it) and a
@@ -347,7 +355,11 @@ object E2EPipeline {
   def verified(spark: SparkSession, sfDir: String, lmCut: Long = defaultLmCut): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val planted = plantNearDups(docs)
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_${math.abs(sfDir.hashCode)}"
+    // the fixture version is part of the PATH, not just the marker name:
+    // two builds with different page recipes sharing one directory would
+    // otherwise poison each other (build A's marker survives build B's
+    // regeneration, so A then trusts B's segment bytes)
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_${math.abs(sfDir.hashCode)}_$fixtureVersion"
     writeWarcSegments(spark, planted, s"$work/warc")
     // prior-crawl fixture: the %13 docs' extracted texts, synthesized
     // INDEPENDENTLY of the job (title + article + banner line — the page
