@@ -608,6 +608,44 @@ object SparkEntry {
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")
     }),
+    "gopher_dup_units" -> ((s, dir) => {
+      // Gopher duplicate-line fractions over deterministic line structure:
+      // every space becomes a line break (natural within-doc word
+      // repetition becomes dup lines); %5 docs append a sentinel line
+      // twice, %3 docs once — excess counting exercised at c=2 and c=3
+      // (%15 docs carry all three copies).
+      val planted = concat(translate(col("text"), " ", "\n"),
+        when(col("doc_id") % 5 === 0, lit("\nsentinel\nsentinel"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("\nsentinel")).otherwise(lit("")))
+      val d = docs(s, dir).select(col("doc_id"), planted.as("text"))
+      TextAnalysis.dupUnitStats(d, "doc_id", "text").orderBy("doc_id")
+    }),
+    "c4_clean" -> ((s, dir) => {
+      // C4 §2.2 line rules over a deterministically line-structured page:
+      // the body line gains terminal punctuation (kept); a no-terminal
+      // line and a 2-word terminal line are always dropped; %3 docs carry
+      // a 5-sentence line (tips the >=5-sentence page rule); %7 docs a
+      // javascript boilerplate line (dropped by the word rule despite
+      // valid shape); %11 docs plant "Lorem Ipsum" (page fail); %13 docs
+      // a curly-brace line (page fail); the closing line exercises the
+      // end-quote terminal mark.
+      val planted = concat(
+        col("text"), lit(".\n"),
+        lit("no terminal punctuation here\n"),
+        lit("Too short.\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("A one. A two. A three. A four. A five.\n")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("Please enable JavaScript to view comments.\n")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("Generated with Lorem Ipsum filler.\n")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("css { display: none }\n")).otherwise(lit("")),
+        lit("He said \"this line ends with a quote\""))
+      val d = docs(s, dir).select(col("doc_id"), planted.as("text"))
+      TextAnalysis.c4Clean(d, "doc_id", "text").orderBy("doc_id")
+    }),
     "unicode_nfc" -> ((s, dir) => {
       // plant decomposed sequences (e + U+0301, A + U+030A) per row; NFC
       // must compose them; the ASCII body passes through untouched
@@ -1307,6 +1345,60 @@ object SparkEntry {
         |  CAST(floor(top_word_n * 10000.0 / words) AS BIGINT) AS top_word_frac_x10000,
         |  CAST(coalesce(bt.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
         |FROM wt LEFT JOIN bt ON wt.doc_id = bt.doc_id ORDER BY wt.doc_id""".stripMargin,
+    // Gopher dup-line fractions: sort-adjacency excess counting — the sort
+    // orders may differ between engines, but equal units are adjacent
+    // under ANY total order, so the counts agree.
+    "gopher_dup_units" ->
+      """WITH d AS (SELECT doc_id,
+        |    replace(text, ' ', chr(10)) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'sentinel' || chr(10) || 'sentinel' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'sentinel' ELSE '' END) AS t
+        |  FROM documents),
+        |a AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
+        |s AS (SELECT doc_id, arr, list_sort(arr) AS srt FROM a),
+        |x AS (SELECT doc_id, len(arr) AS units,
+        |    list_filter(range(1, len(arr)), i -> srt[i+1] = srt[i]) AS dup,
+        |    coalesce(list_aggregate(list_transform(arr, u -> length(u)), 'sum'), 0) AS chars,
+        |    srt FROM s),
+        |y AS (SELECT doc_id, units, len(dup) AS dup_unit_excess, chars,
+        |    coalesce(list_aggregate(list_transform(dup, i -> length(srt[i+1])), 'sum'), 0) AS dup_char_excess
+        |  FROM x)
+        |SELECT doc_id, CAST(units AS BIGINT) AS units,
+        |  CAST(dup_unit_excess AS BIGINT) AS dup_unit_excess,
+        |  CAST(floor(dup_unit_excess * 10000.0 / greatest(units, 1)) AS BIGINT) AS dup_unit_frac_x10000,
+        |  CAST(chars AS BIGINT) AS chars,
+        |  CAST(dup_char_excess AS BIGINT) AS dup_char_excess,
+        |  CAST(floor(dup_char_excess * 10000.0 / greatest(chars, 1)) AS BIGINT) AS dup_char_frac_x10000
+        |FROM y ORDER BY doc_id""".stripMargin,
+    "c4_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || '.' || chr(10) ||
+        |    'no terminal punctuation here' || chr(10) ||
+        |    'Too short.' || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'A one. A two. A three. A four. A five.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'Please enable JavaScript to view comments.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'Generated with Lorem Ipsum filler.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN 'css { display: none }' || chr(10) ELSE '' END) ||
+        |    'He said "this line ends with a quote"' AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ln FROM d),
+        |k AS (SELECT doc_id, t, ln,
+        |    list_filter(ln, x ->
+        |      (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+        |        OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+        |      AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> length(w) > 0)) >= 3
+        |      AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept
+        |  FROM l),
+        |c AS (SELECT doc_id, t, array_to_string(kept, chr(10)) AS text,
+        |    len(ln) AS lines_total, len(kept) AS lines_kept FROM k)
+        |SELECT doc_id, text,
+        |  CAST(lines_total AS BIGINT) AS lines_total,
+        |  CAST(lines_kept AS BIGINT) AS lines_kept,
+        |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS sentences,
+        |  (len(regexp_extract_all(text, '[.!?]')) >= 5
+        |    AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{') AND NOT contains(t, '}')) AS page_pass
+        |FROM c ORDER BY doc_id""".stripMargin,
     "unicode_nfc" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) || 'm #'

@@ -344,4 +344,96 @@ object TextAnalysis {
         col("gopher_stops"), score.as("quality_score_x1000"))
       .withColumn("high_quality", col("quality_score_x1000") >= threshold)
   }
+
+  /** C4's WITHIN-document line-cleaning rules (Raffel et al. 2020 §2.2) —
+    * the intra-doc complement to the corpus-level [[Dedup.lineLevel]]:
+    *  - keep a line only if its trimmed form ends in terminal punctuation
+    *    (period, exclamation mark, question mark, or a closing double
+    *    quote — the paper's list),
+    *  - and it has ≥ `minLineWords` whitespace-separated words (paper: 3),
+    *  - and it does not contain the word "javascript" (case-insensitive,
+    *    word-bounded — the paper's cookie/JS-warning boilerplate rule);
+    * plus the PAGE-level verdict: ≥ `minSentences` sentences in the kept
+    * text AND no "lorem ipsum" (case-insensitive) AND no curly bracket
+    * anywhere on the page. Sentences are counted as terminal-punctuation
+    * occurrences in the kept text — a deterministic, oracle-replicable
+    * proxy for the paper's language-specific sentence tokenizer
+    * (documented divergence; the bad-words list leg is [[UrlFilter]]/
+    * blocklist territory and intentionally not duplicated here).
+    *
+    * Returns (idCol, text = kept lines joined by '\n', lines_total,
+    * lines_kept, sentences, page_pass). All built-ins, codegen'd, NARROW —
+    * at 100 TB a free rider on whatever scan already reads the text
+    * (PlanSpec-gated: zero exchange). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val kept = filter(lines, l => {
+      val lt = trim(l)
+      (lt.endsWith(".") || lt.endsWith("!") || lt.endsWith("?") ||
+        lt.endsWith("\"")) &&
+        size(filter(split(lt, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).rlike("\\bjavascript\\b")
+    })
+    df.select(col(idCol),
+        array_join(kept, "\n").as("text"),
+        size(lines).cast("long").as("lines_total"),
+        size(kept).cast("long").as("lines_kept"),
+        regexp_count(array_join(kept, "\n"), lit("[.!?]")).cast("long")
+          .as("sentences"),
+        (!lower(t).contains("lorem ipsum") &&
+          !t.contains("{") && !t.contains("}")).as("__clean"))
+      .withColumn("page_pass",
+        col("sentences") >= minSentences && col("__clean"))
+      .drop("__clean")
+  }
+
+  /** Gopher's duplicate-line / duplicate-paragraph repetition signals (Rae
+    * et al. 2021 §A.1.1) — the within-document unit-level legs that
+    * complete the repetition battery next to [[repetitionStats]] (top
+    * word/bigram) and [[Dedup.dupNgramStats]] (dup n-gram fraction):
+    * the fraction of units (lines for sep "\n", paragraphs for "\n\n+")
+    * that are EXCESS occurrences of a repeated unit, and the fraction of
+    * characters those excess occurrences own. A unit repeated c times
+    * contributes c−1 excess units and (c−1)·len excess chars — the
+    * RedPajama/Gopher accounting.
+    *
+    * Shape: NO shuffle at all. The unit array is sorted per row
+    * (`array_sort`) and excess occurrences are counted by adjacent
+    * equality — any total order puts equal units next to each other, so
+    * the count is collation-independent (the oracle's `list_sort` need
+    * not order like Spark). O(n log n) per row, all codegen'd built-ins:
+    * at 100 TB a free rider on the scan, unlike an explode+groupBy
+    * formulation which would shuffle a row per line. Fractions are ×10⁴
+    * floored (integer-exact). */
+  def dupUnitStats(df: DataFrame, idCol: String, textCol: String,
+                   sepRegex: String = "\n"): DataFrame = {
+    val arr = split(col(textCol), sepRegex, -1)
+    val srt = array_sort(arr)
+    val n = size(arr)
+    // sequence(1, 0) would yield [1, 0] (negative-step inference), so the
+    // single-unit case short-circuits to the empty index list
+    val dupIdx = when(n > lit(1),
+      filter(sequence(lit(1), n - 1),
+        i => element_at(srt, i + 1) === element_at(srt, i)))
+      .otherwise(array().cast("array<int>"))
+    val chars = aggregate(arr, lit(0L), (acc, u) => acc + length(u))
+    val charExcess = aggregate(dupIdx, lit(0L),
+      (acc, i) => acc + length(element_at(srt, i + 1)))
+    df.select(col(idCol),
+        n.cast("long").as("units"),
+        size(dupIdx).cast("long").as("dup_unit_excess"),
+        chars.as("chars"),
+        charExcess.as("dup_char_excess"))
+      .withColumn("dup_unit_frac_x10000",
+        floor(col("dup_unit_excess") * 10000 / greatest(col("units"), lit(1L)))
+          .cast("long"))
+      .withColumn("dup_char_frac_x10000",
+        floor(col("dup_char_excess") * 10000 / greatest(col("chars"), lit(1L)))
+          .cast("long"))
+      .select(col(idCol), col("units"), col("dup_unit_excess"),
+        col("dup_unit_frac_x10000"), col("chars"), col("dup_char_excess"),
+        col("dup_char_frac_x10000"))
+  }
 }

@@ -646,4 +646,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out(2L)._3, s"symbol soup must fail: score=${out(2L)._2}")
     assert(out(1L)._2 > out(2L)._2)
   }
+
+  test("c4 clean: each line rule and page rule fires independently") {
+    import spark.implicits._
+    val rows = Seq(
+      // 6 sentences across two kept lines; one droppable line each way
+      (0L, "This page has one proper sentence. Then another! And a third?\n" +
+        "no terminal punctuation on this line\n" +
+        "Short one.\n" +
+        "A fourth sentence here. A fifth one too. And a sixth."),
+      // javascript rule: valid shape, still dropped
+      (1L, "Please enable JavaScript to continue reading.\n" +
+        "One. Two. Three. Four. Five. Six real sentences follow here."),
+      // lorem ipsum: lines keepable, page fails
+      (2L, "Lorem ipsum dolor sit amet sentence. Two. Three. Four. Five."),
+      // curly bracket page rule, either brace
+      (3L, "One. Two. Three. Four. Five. Six good sentences { here."),
+      (4L, "One. Two. Three. Four. Five. Six good sentences } here."),
+      // end-quote terminal mark is accepted
+      (5L, "He said \"one two three four five six sentences. . . . . .\"")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(rows, "doc_id", "text")
+      .select($"doc_id", $"text", $"lines_total", $"lines_kept",
+        $"sentences", $"page_pass")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) == 4 && out(0L).getLong(3) == 2)
+    assert(out(0L).getLong(4) == 6 && out(0L).getBoolean(5))
+    assert(!out(0L).getString(1).contains("no terminal"))
+    assert(!out(0L).getString(1).contains("Short one"))
+    assert(out(1L).getLong(3) == 1, "javascript line must drop")
+    assert(!out(1L).getString(1).toLowerCase.contains("javascript"))
+    assert(!out(2L).getBoolean(5), "lorem ipsum page must fail")
+    assert(out(2L).getLong(3) == 1, "lorem line itself is keepable")
+    assert(!out(3L).getBoolean(5) && !out(4L).getBoolean(5),
+      "curly bracket page must fail")
+    assert(out(5L).getLong(3) == 1 && out(5L).getBoolean(5),
+      "end-quote terminal line must be kept and page pass")
+  }
+
+  test("c4 clean: empty and single-line-no-words edge cases") {
+    import spark.implicits._
+    val rows = Seq((0L, ""), (1L, "   \n  "), (2L, "One two three four.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(rows, "doc_id", "text", minSentences = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) == 1 && out(0L).getLong(3) == 0)
+    assert(out(0L).getString(1) == "" && !out(0L).getBoolean(5))
+    assert(out(1L).getLong(2) == 2 && out(1L).getLong(3) == 0)
+    assert(out(2L).getLong(3) == 1 && out(2L).getBoolean(5))
+  }
+
+  test("dup unit stats: excess occurrences and char fractions, lines and paragraphs") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "alpha\nbeta\ngamma"),                 // no dups
+      (1L, "alpha\nalpha\nbeta"),                 // one excess (c=2)
+      (2L, "same\nsame\nsame\nsame"),             // three excess (c=4)
+      (3L, ""),                                   // single empty unit
+      (4L, "x\ny\nx\nz\ny\nx")                    // x:c=3 (+2), y:c=2 (+1)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupUnitStats(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // columns: id, units, dup_unit_excess, dup_unit_frac, chars, dup_char_excess, dup_char_frac
+    assert(out(0L).getLong(1) == 3 && out(0L).getLong(2) == 0)
+    assert(out(1L).getLong(2) == 1 &&
+      out(1L).getLong(3) == 3333, s"got ${out(1L)}")
+    assert(out(1L).getLong(5) == 5 && // one excess "alpha"
+      out(1L).getLong(6) == 3571)     // 5 of 14 chars
+    assert(out(2L).getLong(2) == 3 && out(2L).getLong(3) == 7500)
+    assert(out(3L).getLong(1) == 1 && out(3L).getLong(2) == 0 &&
+      out(3L).getLong(4) == 0 && out(3L).getLong(6) == 0)
+    assert(out(4L).getLong(2) == 3 && out(4L).getLong(5) == 3)
+    // paragraph separator variant over blank-line structure
+    val paras = Seq((0L, "para one\n\npara one\n\npara two"))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.dupUnitStats(paras, "doc_id", "text",
+      sepRegex = "\n\n").head()
+    assert(p.getLong(1) == 3 && p.getLong(2) == 1)
+  }
 }

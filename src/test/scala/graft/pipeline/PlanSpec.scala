@@ -478,4 +478,25 @@ class PlanSpec extends AnyFunSuite {
       s"document text crosses ${textBearing.size} exchanges (want ≤1 — the " +
         s"drop-set join back to intact docs):\n${textBearing.mkString("\n")}")
   }
+
+  test("c4 clean and dup-unit stats are narrow codegen'd passes (zero exchange)") {
+    // parquet-backed so the optimizer can't constant-fold a LocalRelation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val c4Plan = planOf(graft.operators.TextAnalysis.c4Clean(docs, "doc_id", "text"))
+    assert(!c4Plan.contains("Exchange"),
+      s"c4Clean must be a free rider on the scan:\n$c4Plan")
+    assert(!c4Plan.contains("DeserializeToObject") && !c4Plan.contains("SerializeFromObject"),
+      s"c4Clean inserts a serialization boundary:\n$c4Plan")
+    assert(c4Plan.contains("WholeStageCodegen") || c4Plan.contains("*("),
+      s"c4Clean fell out of whole-stage codegen:\n$c4Plan")
+    val duPlan = planOf(graft.operators.TextAnalysis.dupUnitStats(docs, "doc_id", "text"))
+    assert(!duPlan.contains("Exchange"),
+      s"dupUnitStats must be narrow — an explode+groupBy shape would " +
+        s"shuffle a row per line at 100 TB:\n$duPlan")
+    assert(!duPlan.contains("Generate"),
+      s"dupUnitStats exploded the unit array instead of per-row sort-adjacency:\n$duPlan")
+    assert(!duPlan.contains("DeserializeToObject") && !duPlan.contains("SerializeFromObject"),
+      s"dupUnitStats inserts a serialization boundary:\n$duPlan")
+  }
 }
