@@ -970,6 +970,7 @@ object SparkEntry {
         |ext AS (SELECT doc_id, source,
         |  'Synthetic corpus document number ' || CAST(doc_id AS VARCHAR) || chr(10) ||
         |  text0 || chr(10) ||
+        |  CASE WHEN doc_id % 37 = 3 THEN repeat('Limited time offer act now' || chr(10), 10) ELSE '' END ||
         |  CASE WHEN doc_id % 29 = 5 THEN 'Contact me at agent' || CAST(doc_id AS VARCHAR)
         |       || '@mail.example or 555-123-4567 right away' || chr(10) ELSE '' END ||
         |  'Subscribe to the newsletter today' AS t FROM planted),
@@ -998,7 +999,10 @@ object SparkEntry {
         |    AND floor(len(regexp_extract_all(t, '#|…|\.\.\.')) * 1000 / greatest(len(w),1)) <= 100
         |    AND floor(len(list_filter(ln, l -> starts_with(trim(l),'•') OR starts_with(trim(l),'- '))) * 1000 / greatest(len(ln),1)) <= 900
         |    AND floor(len(list_filter(ln, l -> ends_with(trim(l),'...') OR ends_with(trim(l),'…'))) * 1000 / greatest(len(ln),1)) <= 300
-        |    AND floor(len(list_filter(w, x -> regexp_matches(x,'[A-Za-z]'))) * 1000 / greatest(len(w),1)) >= 800),
+        |    AND floor(len(list_filter(w, x -> regexp_matches(x,'[A-Za-z]'))) * 1000 / greatest(len(w),1)) >= 800
+        |    AND floor((len(ln) - len(list_distinct(ln))) * 10000 / greatest(len(ln),1)) <= 3000
+        |    AND floor((list_sum(list_transform(ln, x -> length(x))) - list_sum(list_transform(list_distinct(ln), x -> length(x)))) * 10000
+        |          / greatest(list_sum(list_transform(ln, x -> length(x))),1)) <= 2000),
         |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0)) AS w FROM gop),
         |cnts AS (SELECT w, count(*) c FROM tok GROUP BY w),
         |tot AS (SELECT count(*) n FROM tok),

@@ -407,9 +407,14 @@ object TextAnalysis {
     * at 100 TB a free rider on the scan, unlike an explode+groupBy
     * formulation which would shuffle a row per line. Fractions are ×10⁴
     * floored (integer-exact). */
-  def dupUnitStats(df: DataFrame, idCol: String, textCol: String,
-                   sepRegex: String = "\n"): DataFrame = {
-    val arr = split(col(textCol), sepRegex, -1)
+  /** The dupUnitStats arithmetic as raw columns (units, excess units,
+    * chars, excess chars) — shared by the stats operator and the inline
+    * gate predicate so the composed job and the standalone query can never
+    * drift apart. */
+  private case class DupUnitCols(n: Column, dupIdx: Column,
+                                 chars: Column, charExcess: Column)
+  private def dupUnitCols(t: Column, sepRegex: String): DupUnitCols = {
+    val arr = split(t, sepRegex, -1)
     val srt = array_sort(arr)
     val n = size(arr)
     // sequence(1, 0) would yield [1, 0] (negative-step inference), so the
@@ -421,6 +426,30 @@ object TextAnalysis {
     val chars = aggregate(arr, lit(0L), (acc, u) => acc + length(u))
     val charExcess = aggregate(dupIdx, lit(0L),
       (acc, i) => acc + length(element_at(srt, i + 1)))
+    DupUnitCols(n, dupIdx, chars, charExcess)
+  }
+
+  /** Gopher's duplicate-unit GATE form (Rae et al. 2021 Table A1): keep a
+    * document only if its duplicate-unit fraction and duplicate-unit
+    * CHARACTER fraction are at or below the cuts — the paper's line legs
+    * are 0.30 / 0.20 (the defaults here, ×10⁴). Same arithmetic as
+    * [[dupUnitStats]] via a shared helper; a pure narrow Column predicate
+    * (zero exchange), so the composed job can apply it inline next to
+    * [[gopherPass]]. */
+  def dupUnitPass(t: Column, sepRegex: String = "\n",
+                  maxUnitFracX10000: Int = 3000,
+                  maxCharFracX10000: Int = 2000): Column = {
+    val c = dupUnitCols(t, sepRegex)
+    floor(size(c.dupIdx).cast("long") * 10000 /
+        greatest(c.n.cast("long"), lit(1L))) <= maxUnitFracX10000 &&
+      floor(c.charExcess * 10000 /
+        greatest(c.chars, lit(1L))) <= maxCharFracX10000
+  }
+
+  def dupUnitStats(df: DataFrame, idCol: String, textCol: String,
+                   sepRegex: String = "\n"): DataFrame = {
+    val DupUnitCols(n, dupIdx, chars, charExcess) =
+      dupUnitCols(col(textCol), sepRegex)
     df.select(col(idCol),
         n.cast("long").as("units"),
         size(dupIdx).cast("long").as("dup_unit_excess"),

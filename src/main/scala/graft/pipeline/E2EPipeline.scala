@@ -49,6 +49,17 @@ object E2EPipeline {
     * EVERY row instead of the corpus's handful of natural dup pairs. */
   val banner = "Subscribe to the newsletter today"
 
+  /** Intra-document repetition plant: every doc_id % 37 == 3 page carries
+    * this line TEN times (each as its own block → its own extracted line).
+    * The Gopher duplicate-line gate ([[graft.operators.TextAnalysis
+    * .dupUnitPass]], paper cuts 0.30 / 0.20) must drop exactly these pages
+    * — 10 copies out of ~13 lines is a ~0.69 dup-line fraction, while
+    * unplanted pages have all-distinct lines (fraction 0). The words are
+    * outside every language-ID stop profile, so the plant never flips a
+    * page's language verdict. */
+  val repLine = "Limited time offer act now"
+  val repCount = 10
+
   /** Near-duplicate planting for the fuzzy-dedup stage: docs with
     * doc_id % 101 ∈ {99, 100} become near-copies of the SAME base doc
     * (id − 1 / id − 2, i.e. base % 101 = 98) when the base has ≥ 40
@@ -115,13 +126,14 @@ object E2EPipeline {
     * with a confusing survivor diff. */
   def extractedTextOf(id: Column, text: Column): Column =
     concat(lit("Synthetic corpus document number "), id, lit("\n"), text,
+      when(id % 37 === 3, lit(("\n" + repLine) * repCount)).otherwise(lit("")),
       when(id % 29 === 5,
         concat(lit("\n" + piiPrefix), id, lit(piiSuffix))).otherwise(lit("")),
       lit("\n" + banner))
 
   /** Bump when [[writeWarcSegments]]' page/record recipe changes — part of
     * the fixture-cache marker name. */
-  val fixtureVersion = "v3"
+  val fixtureVersion = "v4"
 
   /** Deterministic WARC fixture segments: docs grouped by doc_id % segments,
     * sorted within a segment, one WARC/1.0 file per segment (member-gzip on
@@ -168,9 +180,10 @@ object E2EPipeline {
           // newlines are whitespace per HTML), so the extracted text gains
           // a deduplicatable banner LINE on every page; %29==5 pages also
           // carry a PII paragraph the redaction stage must scrub
+          val rep = if (id % 37 == 3) s"<p>$repLine</p>" * repCount else ""
           val pii = if (id % 29 == 5) s"<p>${piiLine(id)}</p>" else ""
           val html = SynthCorpus.pageHtml(id, t).replace("</article></main>",
-            s"$pii<p>$banner</p></article></main>")
+            s"$rep$pii<p>$banner</p></article></main>")
           (SynthCorpus.url(id), iso, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         val bytes = Warc.buildFile(recs.toSeq, gzipPerRecord = seg % 2 == 1)
@@ -278,9 +291,13 @@ object E2EPipeline {
       stream.join(drop, Seq("doc_id"), "left_anti")
     }
     // Gopher rule battery, inline and narrow (no feature join-back);
-    // minRequiredStops=0: the synthetic vocabulary carries no stop words
+    // minRequiredStops=0: the synthetic vocabulary carries no stop words.
+    // The duplicate-line repetition legs (Gopher Table A1: dup-line
+    // fraction ≤ 0.30, dup-line CHAR fraction ≤ 0.20) ride in the same
+    // narrow filter — they drop the %37==3 repetition-planted pages.
     val gated = fresh.filter(TextAnalysis.gopherPass(col("text"),
-      minWords = 25, minRequiredStops = 0))
+      minWords = 25, minRequiredStops = 0) &&
+      TextAnalysis.dupUnitPass(col("text")))
     // corpus-likelihood gate: verdicts are (id) rows, semi-joined back
     val lm = TextAnalysis.unigramLikelihood(gated, "doc_id", "text")
     val lmKeep = lm.filter(col("lm_score_x1e6") <= lmCut)

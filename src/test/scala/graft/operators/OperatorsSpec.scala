@@ -724,4 +724,40 @@ class OperatorsSpec extends AnyFunSuite {
       sepRegex = "\n\n").head()
     assert(p.getLong(1) == 3 && p.getLong(2) == 1)
   }
+
+  test("dup unit gate: paper cuts drop repetition-heavy pages, char leg trips independently") {
+    import spark.implicits._
+    val rows = Seq(
+      // all-distinct lines: both fractions 0 → pass
+      (0L, "alpha\nbeta\ngamma\ndelta"),
+      // 10 copies of one line out of 12: unit frac 9/12 = 7500 > 3000 → drop
+      (1L, ("Limited time offer act now\n" * 10) + "alpha\nbeta"),
+      // unit leg passes (2 excess of 8 = 2500 ≤ 3000) but the duplicated
+      // lines are long among short: char frac trips the 2000 cut alone
+      (2L, Seq("a", "b", "c", "d", "e",
+        "the same very long duplicated boilerplate line",
+        "the same very long duplicated boilerplate line",
+        "the same very long duplicated boilerplate line").mkString("\n")),
+      // a mild dup (1 excess of 10 units, small char share): below both
+      // cuts → kept
+      (3L, Seq("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "dddd", "dddd", "bbbbbbbbbbbbbbbbbbbbbbbbbbbb",
+        "e", "f", "g", "h", "i", "jj").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val kept = rows.filter(TextAnalysis.dupUnitPass(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L), "distinct-line page must pass")
+    assert(!kept.contains(1L), "repetition-planted page must fail the unit cut")
+    assert(!kept.contains(2L), "char leg must trip independently of the unit leg")
+    // doc 3: units=10, excess=1 ("dddd" c=2) → 1000 ≤ 3000; chars=79,
+    // excess=4 → floor(40000/79)=506 ≤ 2000 → kept
+    assert(kept.contains(3L), "page at/below both cuts must be kept")
+    // stats and gate share one arithmetic: gate verdict == stats-derived verdict
+    val stats = TextAnalysis.dupUnitStats(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3) <= 3000 && r.getLong(6) <= 2000)).toMap
+    rows.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(stats(id) == kept.contains(id), s"gate/stats drift on doc $id")
+    }
+  }
 }
