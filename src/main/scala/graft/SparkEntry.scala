@@ -496,6 +496,16 @@ object SparkEntry {
         .groupBy("host").agg(count(lit(1)).as("n"))
         .orderBy("host")
     }),
+    "host_cap" -> ((s, dir) => {
+      // per-host document cap (CCNet/RefinedWeb "no mega-host domination"):
+      // keep the 5 earliest docs per host. heavy.example owns ~30% of the
+      // corpus, exercising the bounded hot-host path (per-partition top-n
+      // pre-prune before the per-host window).
+      val ids = docs(s, dir).select(col("doc_id"),
+        graft.pipeline.E2EPipeline.urlOf(col("doc_id")).as("url"))
+      graft.operators.HostCap.capIds(ids, "doc_id", "url", n = 5)(s)
+        .orderBy("doc_id")
+    }),
     // --------------------------------------------------------------- dedup
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(docs(s, dir), "doc_id", "text")
@@ -1257,6 +1267,14 @@ object SparkEntry {
         |            ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END AS host,
         |       count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "host_cap" ->
+      """WITH h AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
+        |         ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END AS host
+        |  FROM documents),
+        |rk AS (SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn FROM h)
+        |SELECT host, doc_id FROM rk WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

@@ -760,4 +760,52 @@ class OperatorsSpec extends AnyFunSuite {
       assert(stats(id) == kept.contains(id), s"gate/stats drift on doc $id")
     }
   }
+
+  test("host cap: global n smallest per host survive the partition-local pre-prune") {
+    import spark.implicits._
+    // ids deliberately scattered so every partition holds candidates from
+    // every host: the pre-prune is lossless only if the union of
+    // per-partition top-n contains the global top-n
+    val rows = (0L until 400L).map { i =>
+      val host = s"h${i % 7}.example"
+      (i, s"https://$host/doc/$i")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "url")
+      .repartition(8) // round-robin: hosts spread across partitions
+    val got = HostCap.capIds(df, "doc_id", "url", n = 3)(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // .toSeq before flatMap: flatMapping a Map with tuple results rebuilds
+    // a Map and silently keeps one pair per host
+    val want = rows.groupBy(_._2.split("/")(2)).toSeq.flatMap { case (h, rs) =>
+      rs.map(_._1).sorted.take(3).map(h -> _)
+    }.toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    // full-table cap keeps every column and exactly the winner rows
+    val full = HostCap.cap(df, "doc_id", "url", n = 3)(spark)
+    assert(full.columns.toSeq == Seq("doc_id", "url"))
+    assert(full.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      want.map(_._2))
+  }
+
+  test("host cap: a dominating host is capped like any other; cap larger than host size keeps all") {
+    import spark.implicits._
+    // one host owns 90% of rows (the mega-host case the operator exists for)
+    val rows = (0L until 200L).map { i =>
+      val host = if (i % 10 < 9) "mega.example" else s"tail${i % 10}.example"
+      (i, s"https://$host/p/$i")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "url").repartition(6)
+    val got = HostCap.capIds(df, "doc_id", "url", n = 4)(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byHost = got.groupBy(_._1)
+    assert(byHost("mega.example").map(_._2).sorted.toSeq ==
+      rows.filter(_._2.contains("mega")).map(_._1).sorted.take(4))
+    // tail9.example has 20 rows → capped at 4; every host respects the cap
+    byHost.foreach { case (h, g) => assert(g.length <= 4, s"$h over cap") }
+    // cap larger than any host's size keeps everything
+    assert(HostCap.capIds(df, "doc_id", "url", n = 1000)(spark).count() == 200)
+    intercept[IllegalArgumentException] {
+      HostCap.capIds(df, "doc_id", "url", n = 0)(spark)
+    }
+  }
 }

@@ -399,6 +399,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("host cap: text never enters the window; only 16-byte (host,id) pairs shuffle") {
+    import spark.implicits._
+    val docs = (0L until 300L).map { i =>
+      (i, s"https://h${i % 5}.example/doc/$i", "x" * 200)
+    }.toDF("doc_id", "url", "text")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val capped = graft.operators.HostCap.cap(docs, "doc_id", "url", n = 3)(spark)
+      val exchanges = capped.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // text/url-bearing rows never shuffle: the winner set is computed
+      // over (host, id) pairs and joins back broadcast (small) or id-hash
+      val textBearing = exchanges.filter(_.output.exists(a =>
+        a.name == "text" || a.name == "url"))
+      assert(textBearing.isEmpty,
+        s"corpus columns cross an exchange in HostCap:\n${textBearing.mkString("\n")}")
+      // the per-host window consumes the PRE-PRUNED stream: a MapPartitions
+      // (bounded per-partition top-n) sits below the window's host exchange
+      val plan = capped.queryExecution.executedPlan.toString
+      assert(plan.contains("Window") && plan.contains("MapPartitions"),
+        s"expected pre-prune MapPartitions feeding the window:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("dup n-gram stats: hot duplicated shingles ride a broadcast semi-join (VERDICT r04 #2)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
