@@ -235,11 +235,12 @@ object SparkEntry {
     "e2e_pipeline" -> ((s, dir) => {
       // THE COMPOSED END-TO-END TRAINING-DATA JOB (VERDICT r04 #1): WARC
       // fixtures → WarcSource.read → robots gate → salted extract → gopher
-      // + corpus-likelihood gates → line-level dedup → MinHash-LSH +
-      // connected components → decontamination → mixture sampling → chunk
-      // plan → WET sink roundtrip. The oracle forward-models the ENTIRE
-      // chain: surviving doc set, post-dedup text (byte-identical through
-      // the WET write/read), token counts, global chunk offsets.
+      // (incl. duplicate-line legs) + corpus-likelihood gates → line-level
+      // dedup → MinHash-LSH + connected components → decontamination →
+      // per-host cap → mixture sampling → chunk plan → WET sink roundtrip.
+      // The oracle forward-models the ENTIRE chain: surviving doc set,
+      // post-dedup text (byte-identical through the WET write/read),
+      // token counts, global chunk offsets.
       graft.pipeline.E2EPipeline.verified(s, dir).orderBy("doc_id")
     }),
     "dedup_paragraphs" -> ((s, dir) => {
@@ -1044,7 +1045,11 @@ object SparkEntry {
         |bg AS (SELECT DISTINCT unnest(sh8) g FROM s8 WHERE doc_id % 53 = 0),
         |hits AS (SELECT DISTINCT e4.doc_id FROM (SELECT doc_id, unnest(sh8) g FROM s8) e4 JOIN bg USING (g)),
         |clean AS (SELECT uniq.* FROM uniq ANTI JOIN hits USING (doc_id)),
-        |mix AS (SELECT c.doc_id, c.t2 FROM clean c JOIN documents d USING (doc_id)
+        |cap AS (SELECT doc_id, t2 FROM (SELECT doc_id, t2,
+        |    row_number() OVER (PARTITION BY (CASE WHEN doc_id % 10 < 3 THEN 'heavy.example'
+        |      ELSE 'host-' || CAST(doc_id % 97 AS VARCHAR) || '.example' END)
+        |      ORDER BY doc_id) AS rn FROM clean) WHERE rn <= 40),
+        |mix AS (SELECT c.doc_id, c.t2 FROM cap c JOIN documents d USING (doc_id)
         |        WHERE ((c.doc_id * 1103515245 + 12345) % 2147483648) % 1000000 <
         |          CAST(1000000 * (CASE d.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.125 END) AS BIGINT)),
         |red AS (SELECT doc_id, regexp_replace(regexp_replace(t2,

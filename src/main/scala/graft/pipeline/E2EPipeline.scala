@@ -330,9 +330,19 @@ object E2EPipeline {
       .filter(col("contaminated"))
       .select(col("id").as("doc_id"))
     val clean = uniq.join(decoDrop, Seq("doc_id"), "left_anti")
+    // per-host anti-domination cap (CCNet/RefinedWeb): heavy.example owns
+    // ~30% of every fixture corpus and is the only host the cap bites —
+    // the production order is dedup → quality → cap → mix. Winner ids are
+    // computed over narrow (host, id) pairs ([[graft.operators.HostCap]]'s
+    // bounded pre-prune) and semi-join back on the stream's own doc_id
+    // partitioning: corpus text still crosses zero post-boundary exchanges.
+    val capped = graft.operators.HostCap.cap(
+        clean.withColumn("url", urlOf(col("doc_id"))),
+        "doc_id", "url", hostCapN)(spark)
+      .drop("url")
     // mixture sampling by source (dims shuffle; the text side is already
     // partitioned on doc_id), oracle-replicable LCG hash
-    val withSource = clean.join(sources, Seq("doc_id"))
+    val withSource = capped.join(sources, Seq("doc_id"))
     val lcg = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
     // PII redaction is the LAST rewrite before the sink (the standard
     // publish-side rule: emails/phones never reach the training stream) —
@@ -358,6 +368,12 @@ object E2EPipeline {
     * emptying the stream. Any constant is CORRECT (the oracle recomputes
     * it); this one keeps the gate non-vacuous at every SF. */
   val defaultLmCut = 27400L
+
+  /** Per-host cap in the composed job: bites only heavy.example (~30% of
+    * every fixture corpus, tail hosts hold ≲25 surviving docs each at
+    * sf0.1) — big enough to keep the tail intact, small enough that the
+    * anti-domination rule verifiably fires at every SF. */
+  val hostCapN = 40
 
   /** URL blocklist fixture for the composed job: one whole-domain entry
     * (host-42 serves no robots.txt, so only this gate removes it) and a
