@@ -9,9 +9,14 @@ import org.apache.spark.sql.expressions.Window
   * per domain; FineWeb and RefinedWeb keep bounded per-host samples so
   * mega-hosts don't drown the mixture).
   *
-  * Semantics: keep at most `n` documents per host, preferring the SMALLEST
-  * id (= earliest capture on corpora where capture time is monotone in id;
-  * pass a quality rank as `idCol` to prefer best-quality instead).
+  * Semantics: keep at most `n` distinct ids per host, preferring the
+  * SMALLEST id (= earliest capture on corpora where capture time is
+  * monotone in id; pass an INTEGRAL quality rank as `idCol` to prefer
+  * best-quality instead — fractional scores must be quantized first, and
+  * the id type is validated fail-fast because a silent cast("long") would
+  * truncate every fractional rank to the same key). Duplicate id values
+  * count once toward the cap ([[capIds]] emits each winning id once);
+  * [[cap]] keeps EVERY input row carrying a winning id.
   *
   * Scale shape — the naive formulation is a window
   * `row_number() OVER (PARTITION BY host ORDER BY id)`, which sorts every
@@ -42,6 +47,14 @@ object HostCap {
   def capIds(df: DataFrame, idCol: String, urlCol: String, n: Int)
             (spark: SparkSession): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"idCol '$idCol' must be an integral type (got $idType): a fractional " +
+        "rank would be truncated by the long cast and a non-numeric id would " +
+        "fail mid-job — quantize scores to integers first")
     import spark.implicits._
     val pairs = df.select(
         graft.pipeline.ExtractPipeline.hostCol(col(urlCol)).as("host"),
@@ -57,15 +70,20 @@ object HostCap {
       heaps.iterator.flatMap { case (h, heap) => heap.iterator.map(h -> _) }
     }
     val w = Window.partitionBy("host").orderBy("__id")
-    pruned.toDF("host", "__id")
+    // duplicate id values (same pair surviving the pre-prune in several
+    // partitions, or repeated input rows) must not eat cap slots: dedup the
+    // already-bounded candidate set (≤ n × partitions rows per host) before
+    // ranking, so the cap counts DISTINCT ids
+    pruned.toDF("host", "__id").dropDuplicates("host", "__id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .select(col("host"), col("__id").as(idCol))
   }
 
-  /** Cap applied to the full table: every column of `df`, at most `n` rows
-    * per host (n smallest `idCol`). The text side joins the winner id set
-    * `left_semi` — it never enters the window or the pre-prune. */
+  /** Cap applied to the full table: every column of `df`, rows of at most
+    * `n` distinct ids per host (the n smallest `idCol`; a duplicated
+    * winning id keeps all of its rows). The text side joins the winner id
+    * set `left_semi` — it never enters the window or the pre-prune. */
   def cap(df: DataFrame, idCol: String, urlCol: String, n: Int)
          (spark: SparkSession): DataFrame = {
     val winners = capIds(df, idCol, urlCol, n)(spark).select(idCol)

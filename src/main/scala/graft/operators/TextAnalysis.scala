@@ -389,24 +389,6 @@ object TextAnalysis {
       .drop("__clean")
   }
 
-  /** Gopher's duplicate-line / duplicate-paragraph repetition signals (Rae
-    * et al. 2021 §A.1.1) — the within-document unit-level legs that
-    * complete the repetition battery next to [[repetitionStats]] (top
-    * word/bigram) and [[Dedup.dupNgramStats]] (dup n-gram fraction):
-    * the fraction of units (lines for sep "\n", paragraphs for "\n\n+")
-    * that are EXCESS occurrences of a repeated unit, and the fraction of
-    * characters those excess occurrences own. A unit repeated c times
-    * contributes c−1 excess units and (c−1)·len excess chars — the
-    * RedPajama/Gopher accounting.
-    *
-    * Shape: NO shuffle at all. The unit array is sorted per row
-    * (`array_sort`) and excess occurrences are counted by adjacent
-    * equality — any total order puts equal units next to each other, so
-    * the count is collation-independent (the oracle's `list_sort` need
-    * not order like Spark). O(n log n) per row, all codegen'd built-ins:
-    * at 100 TB a free rider on the scan, unlike an explode+groupBy
-    * formulation which would shuffle a row per line. Fractions are ×10⁴
-    * floored (integer-exact). */
   /** The dupUnitStats arithmetic as raw columns (units, excess units,
     * chars, excess chars) — shared by the stats operator and the inline
     * gate predicate so the composed job and the standalone query can never
@@ -446,6 +428,24 @@ object TextAnalysis {
         greatest(c.chars, lit(1L))) <= maxCharFracX10000
   }
 
+  /** Gopher's duplicate-line / duplicate-paragraph repetition signals (Rae
+    * et al. 2021 §A.1.1) — the within-document unit-level legs that
+    * complete the repetition battery next to [[repetitionStats]] (top
+    * word/bigram) and [[Dedup.dupNgramStats]] (dup n-gram fraction):
+    * the fraction of units (lines for sep "\n", paragraphs for "\n\n+")
+    * that are EXCESS occurrences of a repeated unit, and the fraction of
+    * characters those excess occurrences own. A unit repeated c times
+    * contributes c−1 excess units and (c−1)·len excess chars — the
+    * RedPajama/Gopher accounting.
+    *
+    * Shape: NO shuffle at all. The unit array is sorted per row
+    * (`array_sort`) and excess occurrences are counted by adjacent
+    * equality — any total order puts equal units next to each other, so
+    * the count is collation-independent (the oracle's `list_sort` need
+    * not order like Spark). O(n log n) per row, all codegen'd built-ins:
+    * at 100 TB a free rider on the scan, unlike an explode+groupBy
+    * formulation which would shuffle a row per line. Fractions are ×10⁴
+    * floored (integer-exact). */
   def dupUnitStats(df: DataFrame, idCol: String, textCol: String,
                    sepRegex: String = "\n"): DataFrame = {
     val DupUnitCols(n, dupIdx, chars, charExcess) =

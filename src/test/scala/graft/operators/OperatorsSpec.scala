@@ -807,5 +807,26 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       HostCap.capIds(df, "doc_id", "url", n = 0)(spark)
     }
+    // fractional rank columns fail fast instead of silently truncating to 0
+    val frac = df.withColumn("score", col("doc_id") / 7.0)
+    intercept[IllegalArgumentException] {
+      HostCap.capIds(frac, "score", "url", n = 4)(spark)
+    }
+  }
+
+  test("host cap: duplicate id values count once toward the cap; cap keeps all their rows") {
+    import spark.implicits._
+    // ids 0..9 on one host, each row TRIPLED and scattered: the cap must
+    // still admit ids 0,1,2 (not 0,0,0), and cap() must keep all 3 rows of
+    // each winning id
+    val rows = (0L until 10L).flatMap(i =>
+      Seq.fill(3)((i, s"https://dup.example/p/$i")))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "url").repartition(5)
+    val winners = HostCap.capIds(df, "doc_id", "url", n = 3)(spark)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(winners == Seq(0L, 1L, 2L), s"got $winners")
+    val full = HostCap.cap(df, "doc_id", "url", n = 3)(spark).collect()
+    assert(full.length == 9, s"expected 3 rows x 3 winning ids, got ${full.length}")
+    assert(full.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
   }
 }
